@@ -192,15 +192,17 @@ def pq_matrices(eps_conv, mu_conv, kx, ky):
     kxc, kxr = kx[:, None], kx[None, :]
     kyc, kyr = ky[:, None], ky[None, :]
 
+    # constant part: hstack(vstack(0, -mu), vstack(mu, 0)) = [[0, mu], [-mu, 0]]
     p00 = kxc * einv * kyr
-    p01 = -mu_conv - kxc * einv * kxr
-    p10 = mu_conv + kyc * einv * kyr
+    p01 = mu_conv - kxc * einv * kxr
+    p10 = -mu_conv + kyc * einv * kyr
     p11 = -(kyc * einv * kxr)
     P = jnp.block([[p00, p01], [p10, p11]])
 
+    # constant part: hstack(vstack(0, eps), vstack(-eps, 0)) = [[0, -eps], [eps, 0]]
     q00 = -(kxc * minv * kyr)
-    q01 = eps_conv + kxc * minv * kxr
-    q10 = -eps_conv - kyc * minv * kyr
+    q01 = -eps_conv + kxc * minv * kxr
+    q10 = eps_conv - kyc * minv * kyr
     q11 = kyc * minv * kxr
     Q = jnp.block([[q00, q01], [q10, q11]])
     return P, Q
@@ -216,12 +218,12 @@ def pq_homogeneous_bd(eps, mu, kx, ky, dtype):
     eps = jnp.asarray(eps, dtype)
     mu = jnp.asarray(mu, dtype)
     P = jnp.stack([
-        jnp.stack([kx * ky / eps, -mu - kx * kx / eps]),
-        jnp.stack([mu + ky * ky / eps, -ky * kx / eps]),
+        jnp.stack([kx * ky / eps, mu - kx * kx / eps]),
+        jnp.stack([-mu + ky * ky / eps, -ky * kx / eps]),
     ])
     Q = jnp.stack([
-        jnp.stack([-kx * ky / mu, eps + kx * kx / mu]),
-        jnp.stack([-eps - ky * ky / mu, ky * kx / mu]),
+        jnp.stack([-kx * ky / mu, -eps + kx * kx / mu]),
+        jnp.stack([eps - ky * ky / mu, ky * kx / mu]),
     ])
     return P, Q
 

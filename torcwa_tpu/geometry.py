@@ -13,6 +13,7 @@ fused by XLA).  The ``device`` kwarg is accepted for API compatibility with
 the reference but ignored (JAX manages placement).
 """
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ['geometry', 'rcwa_geo']
@@ -38,7 +39,10 @@ def _rot_coords(x_grid, y_grid, Cx, Cy, theta):
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+    # jax.nn.sigmoid is overflow-safe in both value and gradient (the naive
+    # 1/(1+exp(-x)) yields inf/inf = nan gradients for strongly negative x
+    # at the edge-sharpness values used here).
+    return jax.nn.sigmoid(x)
 
 
 class geometry:
