@@ -102,7 +102,13 @@ def _eig_fwd(A, broadening, backend):
 
 def _eig_bwd(broadening, backend, res, cotangents):
     eigval, eigvec = res
-    grad_eigval, grad_eigvec = cotangents
+    # JAX's VJP convention is the *transpose* of the JVP (no conjugation),
+    # whereas the reference formula (torch_eig.py:19-44) is written in
+    # torch's adjoint convention.  The exact adapter between the two is
+    #   grad_jax = conj(grad_torch(conj(cotangents))),
+    # which keeps the broadened-F semantics bit-identical to the reference.
+    grad_eigval = jnp.conj(cotangents[0])
+    grad_eigvec = jnp.conj(cotangents[1])
 
     if broadening is None:
         eps = _TINY[np.dtype(eigval.dtype)]
@@ -111,9 +117,13 @@ def _eig_bwd(broadening, backend, res, cotangents):
 
     # s[..., i, j] = lambda_j - lambda_i (torch_eig.py:25)
     s = eigval[..., None, :] - eigval[..., :, None]
-    F = jnp.conj(s) / (jnp.abs(s) ** 2 + eps)
-    n = F.shape[-1]
-    F = F * (1.0 - jnp.eye(n, dtype=F.real.dtype))  # zero the diagonal
+    n = s.shape[-1]
+    diag = jnp.eye(n, dtype=bool)
+    # Mask the diagonal *before* dividing: with eps == 0 (unstabilized mode)
+    # the diagonal would otherwise be 0/0 = nan, poisoning the whole grad.
+    s_safe = jnp.where(diag, 1.0, s)
+    F = jnp.conj(s_safe) / (jnp.abs(s_safe) ** 2 + eps)
+    F = jnp.where(diag, 0.0, F)  # zero diagonal (torch_eig.py:35-36)
 
     XH = jnp.conj(jnp.swapaxes(eigvec, -2, -1))
     tmp = jnp.conj(F) * (XH @ grad_eigvec)
@@ -122,7 +132,7 @@ def _eig_bwd(broadening, backend, res, cotangents):
     # X^-H @ inner @ X^H, via a solve for stability (same math as
     # torch_eig.py:40's explicit inverse).
     grad = jnp.linalg.solve(XH, inner @ XH)
-    return (grad,)
+    return (jnp.conj(grad),)
 
 
 eig.defvjp(_eig_fwd, _eig_bwd)
