@@ -1,0 +1,124 @@
+"""Functional split-real solve (fmm.py) vs the complex class solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import torcwa_tpu as tt
+from torcwa_tpu import fmm
+
+L = (300., 300.)
+SUB = 1.46 ** 2
+SI = 4.767 + 0.598j
+
+
+def _geom():
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=128, ny=128, edge_sharpness=1000.)
+    return np.asarray(g.rectangle(180., 100., 150., 150.), np.float64)
+
+
+def _class_txx(lamb0, geom, order):
+    eps = jnp.asarray(geom * SI + (1. - geom), jnp.complex128)
+    sim = tt.rcwa(freq=1 / lamb0, order=list(order), L=list(L),
+                  dtype=jnp.complex128)
+    sim.add_input_layer(eps=SUB)
+    sim.set_incident_angle(inc_ang=0., azi_ang=0.)
+    sim.add_layer(thickness=300., eps=eps)
+    sim.solve_global_smatrix()
+    t = sim.S_parameters(orders=[0, 0], direction='forward',
+                         port='transmission', polarization='xx',
+                         ref_order=[0, 0])
+    return float(jnp.abs(t[0]) ** 2)
+
+
+def test_dft_conv_matches_fft():
+    from torcwa_tpu.ops.fourier import material_conv
+    geom = _geom()
+    grid = geom * SI + (1. - geom)
+    ref = np.asarray(material_conv(jnp.asarray(grid), (3, 3), jnp.complex128))
+    cr, ci = fmm.dft_conv_pair((jnp.asarray(grid.real), jnp.asarray(grid.imag)),
+                               (3, 3), 128, 128)
+    assert np.allclose(np.asarray(cr) + 1j * np.asarray(ci), ref, atol=1e-10)
+
+
+def test_simulate_txx_matches_class():
+    geom = _geom()
+    spec = fmm.StackSpec(order=(3, 3), L=L, n_layers=1, has_input=True)
+    grid = geom * SI + (1. - geom)
+    for lamb0 in [450., 532., 650.]:
+        T_fn = float(fmm.simulate_txx(
+            spec, jnp.asarray(1 / lamb0, jnp.float64),
+            jnp.asarray(grid.real), jnp.asarray(grid.imag),
+            jnp.asarray(300., jnp.float64), jnp.asarray(SUB, jnp.float64)))
+        T_cl = _class_txx(lamb0, geom, (3, 3))
+        assert np.isclose(T_fn, T_cl, rtol=1e-6), (lamb0, T_fn, T_cl)
+
+
+def test_simulate_vmap_over_wavelength():
+    geom = _geom()
+    spec = fmm.StackSpec(order=(2, 2), L=L, n_layers=1, has_input=True)
+    grid = geom * SI + (1. - geom)
+    lambs = np.array([450., 500., 550., 600.])
+
+    f = jax.vmap(lambda fr: fmm.simulate_txx(
+        spec, fr, jnp.asarray(grid.real), jnp.asarray(grid.imag),
+        jnp.asarray(300., jnp.float64), jnp.asarray(SUB, jnp.float64)))
+    Ts = np.asarray(f(jnp.asarray(1 / lambs)))
+    for i, lamb0 in enumerate(lambs):
+        T_cl = _class_txx(float(lamb0), geom, (2, 2))
+        assert np.isclose(Ts[i], T_cl, rtol=1e-6), (lamb0, Ts[i], T_cl)
+
+
+def test_simulate_grad():
+    """d|txx|^2/d(thickness) via the functional path vs FD."""
+    geom = _geom()
+    spec = fmm.StackSpec(order=(2, 2), L=L, n_layers=1, has_input=True)
+    grid = geom * SI + (1. - geom)
+
+    def T(th):
+        return fmm.simulate_txx(
+            spec, jnp.asarray(1 / 532., jnp.float64),
+            jnp.asarray(grid.real), jnp.asarray(grid.imag),
+            th, jnp.asarray(SUB, jnp.float64))
+
+    th0 = jnp.asarray(300., jnp.float64)
+    dt = 1e-3
+    fd = (float(T(th0 + dt)) - float(T(th0 - dt))) / (2 * dt)
+    ad = float(jax.grad(T)(th0))
+    assert np.isclose(ad, fd, rtol=1e-5), (ad, fd)
+
+
+def test_multilayer_stack():
+    """3 patterned layers through the functional fold vs the class solver."""
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=128, ny=128, edge_sharpness=1000.)
+    g0 = np.asarray(g.rectangle(180., 100., 150., 150.), np.float64)
+    g1 = np.asarray(g.rectangle(120., 160., 150., 150., theta=0.5), np.float64)
+    g2 = np.asarray(g.circle(80., 150., 150.), np.float64)
+    grids = np.stack([gg * SI + (1. - gg) for gg in [g0, g1, g2]])
+    ths = np.array([200., 100., 150.])
+
+    spec = fmm.StackSpec(order=(2, 2), L=L, n_layers=3, has_input=True)
+    S, internals = fmm.solve_stack_pair(
+        spec, jnp.asarray(1 / 532., jnp.float64),
+        jnp.asarray(0., jnp.float64), jnp.asarray(0., jnp.float64),
+        (jnp.asarray(grids.real), jnp.asarray(grids.imag)),
+        jnp.asarray(ths),
+        eps_in=(jnp.asarray(SUB, jnp.float64), jnp.asarray(0., jnp.float64)))
+    one = (jnp.asarray(1., jnp.float64), jnp.asarray(0., jnp.float64))
+    tr, ti = fmm.sparam_xy_pair(
+        S, internals['kx'], internals['ky'],
+        (jnp.asarray(SUB, jnp.float64), jnp.asarray(0., jnp.float64)), one,
+        (2, 2), [0, 0], [0, 0], 'xx')
+    T_fn = float(tr[0] ** 2 + ti[0] ** 2)
+
+    sim = tt.rcwa(freq=1 / 532., order=[2, 2], L=list(L), dtype=jnp.complex128)
+    sim.add_input_layer(eps=SUB)
+    sim.set_incident_angle(inc_ang=0., azi_ang=0.)
+    for gg, t in zip(grids, ths):
+        sim.add_layer(thickness=float(t), eps=jnp.asarray(gg, jnp.complex128))
+    sim.solve_global_smatrix()
+    t = sim.S_parameters(orders=[0, 0], direction='forward',
+                         port='transmission', polarization='xx',
+                         ref_order=[0, 0])
+    T_cl = float(jnp.abs(t[0]) ** 2)
+    assert np.isclose(T_fn, T_cl, rtol=1e-6), (T_fn, T_cl)

@@ -88,3 +88,57 @@ def test_eig_vjp_unit():
     fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
     ad = float(jax.grad(loss)(0.0))
     assert np.isclose(ad, fd, rtol=1e-5), (ad, fd)
+
+
+def test_grad_lossy_material():
+    """Gradient through a genuinely complex (lossy) structure — pins the
+    VJP conjugation convention (a lossless structure has a numerically
+    real P@Q, which masks conjugation errors)."""
+    import jax
+
+    def T_of_R(R, backend):
+        g = tt.geometry(Lx=L[0], Ly=L[1], nx=256, ny=256, edge_sharpness=500.,
+                        dtype=jnp.float64)
+        geom = g.circle(R, L[0] / 2., L[1] / 2.)
+        eps = geom * (4.767 + 0.598j) + (1. - geom)  # lossy a-Si-like
+        sim = tt.rcwa(freq=1 / LAMB0, order=[3, 3], L=L, dtype=jnp.complex128,
+                      eig_backend=backend)
+        sim.add_input_layer(eps=SUBSTRATE_EPS)
+        sim.set_incident_angle(inc_ang=0.05, azi_ang=0.1)
+        sim.add_layer(thickness=400., eps=eps)
+        sim.solve_global_smatrix()
+        txx = sim.S_parameters(orders=[0, 0], direction='forward',
+                               port='transmission', polarization='xx',
+                               ref_order=[0, 0])
+        return (jnp.abs(txx) ** 2)[0]
+
+    dR = 0.01
+    for backend in ['callback', 'qr']:
+        fd = (float(T_of_R(95. + dR, backend))
+              - float(T_of_R(95. - dR, backend))) / (2 * dR)
+        ad = float(jax.grad(T_of_R)(95., backend))
+        assert np.isclose(ad, fd, rtol=2e-3), (backend, ad, fd)
+
+
+def test_eig_vjp_general_loss():
+    """VJP correctness for a loss involving V and inv(V) with a fully
+    complex matrix, both backends."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    n = 8
+    A0 = jnp.asarray(rng.standard_normal((n, n))
+                     + 1j * rng.standard_normal((n, n)), jnp.complex128)
+    dA = jnp.asarray(rng.standard_normal((n, n))
+                     + 1j * rng.standard_normal((n, n)), jnp.complex128)
+
+    for backend in ['callback', 'qr']:
+        def loss(t):
+            w, V = tt.eig(A0 + t * dA, 1e-10, backend)
+            M = V @ jnp.diag(jnp.exp(1j * w)) @ jnp.linalg.inv(V)
+            return jnp.sum(jnp.abs(M) ** 2)
+
+        eps = 1e-6
+        fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
+        ad = float(jax.grad(loss)(0.0))
+        assert np.isclose(ad, fd, rtol=1e-5), (backend, ad, fd)

@@ -1,0 +1,453 @@
+"""Functional, split-real RCWA solve: the TPU execution path.
+
+The class API (:mod:`torcwa_tpu.solver`) mirrors the reference and uses
+complex arrays — ideal on CPU.  This module is the TPU-first pipeline: a
+pure function of real float tensors (complex values carried as (re, im)
+pairs) that jits, vmaps over sweep axes (wavelength/geometry), shards over
+device meshes, and differentiates — with **zero complex arrays on device**
+(this TPU runtime does not reliably lower complex64; see eig_qr_real.py).
+
+Highlights vs the reference's eager object
+(/root/reference/torcwa/rcwa.py):
+
+* conv matrices via a real DFT-matmul pair (MXU) instead of full fft2 +
+  gather — mathematically identical to rcwa.py:1183-1204 restricted to the
+  needed order differences;
+* one batched split-real eig across all patterned layers / sweep points;
+* the 4N x 4N boundary inverse replaced by two 2N x 2N inverses using the
+  symmetric-layer factorization (see core.py docstring), with S22 == S11
+  and S12 == S21 never materialized twice;
+* cladding interface S-matrices kept in O(N) block-2x2-diagonal form.
+
+Conventions match the reference exactly: Lorentz-Heaviside units,
+exp(-j w t), Laurent-rule factorization, kz branch rules per layer type.
+Assumes mu = 1 everywhere (all reference examples do); magnetic materials
+are supported by the class API.
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._constants import PI_REF
+from .ops import cplx
+from .ops.eig import eig_pair
+from .ops.fourier import order_vectors
+
+__all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair', 'simulate_txx']
+
+
+class StackSpec(NamedTuple):
+    """Static description of the layer stack (hashable, drives tracing)."""
+    order: tuple          # (order_x, order_y)
+    L: tuple              # (Lx, Ly)
+    n_layers: int
+    has_input: bool = True
+    has_output: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Block-2x2-diagonal algebra on pairs ((2,2,N) re, (2,2,N) im)
+# ---------------------------------------------------------------------------
+
+def _bdp_mul(a, b):
+    f = lambda x, y: jnp.einsum('abn,bcn->acn', x, y)
+    return (f(a[0], b[0]) - f(a[1], b[1]), f(a[0], b[1]) + f(a[1], b[0]))
+
+
+def _bdp_inv(a):
+    det = cplx.csub(cplx.cmul((a[0][0, 0], a[1][0, 0]), (a[0][1, 1], a[1][1, 1])),
+                    cplx.cmul((a[0][0, 1], a[1][0, 1]), (a[0][1, 0], a[1][1, 0])))
+    out_r = jnp.stack([jnp.stack([a[0][1, 1], -a[0][0, 1]]),
+                       jnp.stack([-a[0][1, 0], a[0][0, 0]])])
+    out_i = jnp.stack([jnp.stack([a[1][1, 1], -a[1][0, 1]]),
+                       jnp.stack([-a[1][1, 0], a[1][0, 0]])])
+    return cplx.cdivide((out_r, out_i), (det[0][None, None], det[1][None, None]))
+
+
+def _bdp_apply(a, x):
+    """bd pair (2,2,N) applied to dense pair [2N, M]."""
+    def app(ar, xr):
+        n = ar.shape[-1]
+        xt, xb = xr[:n], xr[n:]
+        top = ar[0, 0][:, None] * xt + ar[0, 1][:, None] * xb
+        bot = ar[1, 0][:, None] * xt + ar[1, 1][:, None] * xb
+        return jnp.concatenate([top, bot], axis=0)
+    return (app(a[0], x[0]) - app(a[1], x[1]),
+            app(a[0], x[1]) + app(a[1], x[0]))
+
+
+def _bdp_apply_right(x, a):
+    """Dense pair [M, 2N] times bd pair."""
+    def app(xr, ar):
+        n = ar.shape[-1]
+        xl, xr_ = xr[:, :n], xr[:, n:]
+        left = xl * ar[0, 0][None, :] + xr_ * ar[1, 0][None, :]
+        right = xl * ar[0, 1][None, :] + xr_ * ar[1, 1][None, :]
+        return jnp.concatenate([left, right], axis=1)
+    return (app(x[0], a[0]) - app(x[1], a[1]),
+            app(x[0], a[1]) + app(x[1], a[0]))
+
+
+def _bdp_dense(a):
+    n = a[0].shape[-1]
+    def dense(ar):
+        z = jnp.zeros((2 * n, 2 * n), ar.dtype)
+        idx = jnp.arange(n)
+        z = z.at[idx, idx].set(ar[0, 0])
+        z = z.at[idx, idx + n].set(ar[0, 1])
+        z = z.at[idx + n, idx].set(ar[1, 0])
+        z = z.at[idx + n, idx + n].set(ar[1, 1])
+        return z
+    return dense(a[0]), dense(a[1])
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+def dft_conv_pair(grid, order, nx, ny):
+    """Toeplitz convolution matrix of a material grid via real DFT matmuls.
+
+    grid: pair (re, im) [nx, ny].  Returns pair [N, N].  Identical to the
+    reference's fft2 + order-difference gather (rcwa.py:1183-1204) — the
+    DFT is evaluated only at the (4ox+1) x (4oy+1) needed frequencies with
+    real cos/sin matmuls (MXU) instead of a full FFT.
+    """
+    rdtype = grid[0].dtype
+    dox = np.arange(-2 * order[0], 2 * order[0] + 1)
+    doy = np.arange(-2 * order[1], 2 * order[1] + 1)
+    x = np.arange(nx)
+    y = np.arange(ny)
+    # exp(-2 pi i k x / n)
+    phx = -2 * np.pi * np.outer(dox, x) / nx
+    phy = -2 * np.pi * np.outer(doy, y) / ny
+    Exc = jnp.asarray(np.cos(phx), rdtype)
+    Exs = jnp.asarray(np.sin(phx), rdtype)
+    Eyc = jnp.asarray(np.cos(phy), rdtype)
+    Eys = jnp.asarray(np.sin(phy), rdtype)
+
+    # M = Ex @ grid @ Ey^T / (nx ny): complex triple product on pairs, with
+    # Ex = Exc + i Exs (and likewise Ey)
+    def triple(g):
+        a = Exc @ g
+        b = Exs @ g
+        return (a @ Eyc.T - b @ Eys.T, a @ Eys.T + b @ Eyc.T)
+    mr_r, mr_i = triple(grid[0])
+    mi_r, mi_i = triple(grid[1])
+    Mr = (mr_r - mi_i) / (nx * ny)
+    Mi = (mr_i + mi_r) / (nx * ny)
+
+    ox, oy = order_vectors(order)
+    rows = (ox[:, None] - ox[None, :]) + 2 * order[0]
+    cols = (oy[:, None] - oy[None, :]) + 2 * order[1]
+    return Mr[rows, cols], Mi[rows, cols]
+
+
+def kvectors_real(freq, inc_ang, azi_ang, n_ref, order, L, rdtype):
+    """Real transverse k-grids (real angles; mirrors rcwa.py:1124-1141).
+
+    n_ref = Re(sqrt(eps_ref * mu_ref)) of the angle-reference cladding.
+    """
+    kx0 = n_ref * jnp.sin(inc_ang) * jnp.cos(azi_ang)
+    ky0 = n_ref * jnp.sin(inc_ang) * jnp.sin(azi_ang)
+    ox = jnp.arange(-order[0], order[0] + 1, dtype=rdtype)
+    oy = jnp.arange(-order[1], order[1] + 1, dtype=rdtype)
+    kx = kx0 + ox / (L[0] * freq)
+    ky = ky0 + oy / (L[1] * freq)
+    kxg, kyg = jnp.meshgrid(kx, ky, indexing='ij')
+    return kxg.reshape(-1), kyg.reshape(-1)
+
+
+def _kz_pair(eps_mu, kx, ky):
+    """kz = sqrt(eps*mu - kx^2 - ky^2) with Im >= 0 via conj branch fix."""
+    kz = cplx.csqrt((eps_mu[0] - kx ** 2 - ky ** 2,
+                     eps_mu[1] + jnp.zeros_like(kx)))
+    return kz[0], jnp.abs(kz[1])  # conj-if-negative == abs on imag
+
+
+def vmat_pair(kx, ky, kz):
+    """Homogeneous-medium E->H map as a bd pair (rcwa.py:1145-1147)."""
+    kxp = (kx, jnp.zeros_like(kx))
+    kyp = (ky, jnp.zeros_like(ky))
+    v00 = cplx.cdivide(cplx.cmul(cplx.cneg(kyp), kxp), kz)
+    v01 = cplx.csub(cplx.cneg(kz), cplx.cdivide(cplx.cmul(kyp, kyp), kz))
+    v10 = cplx.cadd(kz, cplx.cdivide(cplx.cmul(kxp, kxp), kz))
+    v11 = cplx.cdivide(cplx.cmul(kxp, kyp), kz)
+    re = jnp.stack([jnp.stack([v00[0], v01[0]]), jnp.stack([v10[0], v11[0]])])
+    im = jnp.stack([jnp.stack([v00[1], v01[1]]), jnp.stack([v10[1], v11[1]])])
+    return re, im
+
+
+def interface_in_pair(Vf, Vi):
+    """Input cladding S-matrix blocks as bd pairs (rcwa.py:1157-1164)."""
+    t1 = _bdp_inv((Vf[0] + Vi[0], Vf[1] + Vi[1]))
+    t2 = (Vf[0] - Vi[0], Vf[1] - Vi[1])
+    m = _bdp_mul
+    s11 = m(t1, Vi); s11 = (2 * s11[0], 2 * s11[1])
+    s21 = m(t1, t2); s21n = (-s21[0], -s21[1])
+    s22 = m(t1, Vf); s22 = (2 * s22[0], 2 * s22[1])
+    return [s11, s21n, s21, s22]
+
+
+def interface_out_pair(Vf, Vo):
+    """Output cladding S-matrix blocks as bd pairs (rcwa.py:1174-1181)."""
+    t1 = _bdp_inv((Vf[0] + Vo[0], Vf[1] + Vo[1]))
+    t2 = (Vf[0] - Vo[0], Vf[1] - Vo[1])
+    m = _bdp_mul
+    s11 = m(t1, Vf); s11 = (2 * s11[0], 2 * s11[1])
+    s12 = m(t1, t2)
+    s22 = m(t1, Vo); s22 = (2 * s22[0], 2 * s22[1])
+    return [s11, s12, (-s12[0], -s12[1]), s22]
+
+
+def pq_pair(eps_conv, kx, ky):
+    """P, Q of a patterned layer with mu = 1 (split-real rcwa.py:1226-1232)."""
+    n = kx.shape[0]
+    rdtype = kx.dtype
+    einv = cplx.cinv(eps_conv)
+    eye = jnp.eye(n, dtype=rdtype)
+    kxc, kxr = kx[:, None], kx[None, :]
+    kyc, kyr = ky[:, None], ky[None, :]
+
+    def blocks(m, c0, c1):
+        # returns one component (re or im) of P given einv component m and
+        # the identity coefficients of the constant part
+        p00 = kxc * m * kyr
+        p01 = c0 * eye - kxc * m * kxr
+        p10 = -c0 * eye + kyc * m * kyr
+        p11 = -(kyc * m * kxr)
+        return jnp.block([[p00, p01], [p10, p11]])
+
+    Pr = blocks(einv[0], 1., 0.)
+    Pi = blocks(einv[1], 0., 0.)
+
+    q00 = -(kxc * kyr) * eye_mask(n, rdtype)
+    # Q with mu=1: [[ -diag(kx ky), eye*kx^2 - eps], [eps - diag(ky^2), diag(ky kx)]]
+    d_kxky = jnp.diag(kx * ky)
+    d_kx2 = jnp.diag(kx * kx)
+    d_ky2 = jnp.diag(ky * ky)
+    Qr = jnp.block([[-d_kxky, d_kx2 - eps_conv[0]],
+                    [eps_conv[0] - d_ky2, d_kxky]])
+    Qi = jnp.block([[jnp.zeros((n, n), rdtype), -eps_conv[1]],
+                    [eps_conv[1], jnp.zeros((n, n), rdtype)]])
+    return (Pr, Pi), (Qr, Qi)
+
+
+def eye_mask(n, rdtype):
+    return jnp.eye(n, dtype=rdtype)
+
+
+def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
+                       broadening, backend):
+    """Patterned-layer S-matrix, split-real (rcwa.py:1224-1281 pipeline).
+
+    Returns (S11, S21, G, D, kz, E, H) — pairs.  S22 == S11, S12 == S21.
+    """
+    n2 = 2 * kx.shape[0]
+    rdtype = kx.dtype
+    P, Q = pq_pair(eps_conv, kx, ky)
+    A = cplx.cmm(P, Q)
+    wr, wi, vr, vi = eig_pair(A[0], A[1], broadening, backend)
+    kz = cplx.csqrt((wr, wi))
+    flip = kz[1] < 0
+    kz = (jnp.where(flip, -kz[0], kz[0]), jnp.where(flip, -kz[1], kz[1]))
+    E = (vr, vi)
+
+    # H = P^-1 E Kz
+    H = cplx.csolve(P, cplx.scale_cols(E, kz))
+    W = _bdp_apply(Vf_inv, H)
+    Apl = cplx.cadd(E, W)
+    Bmn = cplx.csub(E, W)
+    phase = cplx.cexp_i((omega * thickness * kz[0], omega * thickness * kz[1]))
+    Bphi = cplx.scale_cols(Bmn, phase)
+    Mp = cplx.cinv(cplx.cadd(Apl, Bphi))
+    Mm = cplx.cinv(cplx.csub(Apl, Bphi))
+    G = cplx.cadd(Mp, Mm)
+    D = cplx.csub(Mp, Mm)
+    Ephi = cplx.scale_cols(E, phase)
+    eye = (jnp.eye(n2, dtype=rdtype), jnp.zeros((n2, n2), rdtype))
+    S11 = cplx.cadd(cplx.cmm(Ephi, G), cplx.cmm(E, D))
+    S21 = cplx.csub(cplx.cadd(cplx.cmm(E, G), cplx.cmm(Ephi, D)), eye)
+    return S11, S21, G, D, kz, E, H
+
+
+def redheffer_pair(Sm, Sn):
+    """Star product on dense pairs (rcwa.py:1287-1294)."""
+    S11m, S21m, S12m, S22m = Sm
+    S11n, S21n, S12n, S22n = Sn
+    n2 = S11m[0].shape[-1]
+    eye = (jnp.eye(n2, dtype=S11m[0].dtype),
+           jnp.zeros((n2, n2), S11m[0].dtype))
+    t1 = cplx.cinv(cplx.csub(eye, cplx.cmm(S12m, S21n)))
+    t2 = cplx.cinv(cplx.csub(eye, cplx.cmm(S21n, S12m)))
+    S11 = cplx.cmm(S11n, cplx.cmm(t1, S11m))
+    S21 = cplx.cadd(S21m, cplx.cmm(S22m, cplx.cmm(t2, cplx.cmm(S21n, S11m))))
+    S12 = cplx.cadd(S12n, cplx.cmm(S11n, cplx.cmm(t1, cplx.cmm(S12m, S22n))))
+    S22 = cplx.cmm(S22m, cplx.cmm(t2, S22n))
+    return [S11, S21, S12, S22], t1, t2
+
+
+# ---------------------------------------------------------------------------
+# Full solve
+# ---------------------------------------------------------------------------
+
+def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
+                     eps_grids, thicknesses, eps_in=None, eps_out=None,
+                     broadening='auto', eig_backend='auto'):
+    """Global S-matrix of a stack of patterned layers, all split-real.
+
+    Args:
+      spec: static StackSpec.
+      freq: real scalar (1/length).
+      inc_ang, azi_ang: real scalars (radians).
+      eps_grids: pair of [n_layers, nx, ny] real arrays (re, im parts of
+        the layer permittivity rasters).
+      thicknesses: [n_layers] real.
+      eps_in / eps_out: cladding permittivity pairs (re, im) scalars, if
+        spec.has_input / has_output.
+
+    Returns:
+      S blocks [S11, S21, S12, S22] as dense pairs, plus a dict of
+      layer internals for field reconstruction / diagnostics.
+    """
+    # S-matrix algebra is precision-critical (repeated inverses of nearly
+    # unitary blocks); TPU's default f32 matmul runs in bf16 passes, so pin
+    # full float32 accumulation for everything traced here.
+    with jax.default_matmul_precision('highest'):
+        return _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
+                                      thicknesses, eps_in, eps_out, broadening,
+                                      eig_backend)
+
+
+def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
+                           thicknesses, eps_in, eps_out, broadening,
+                           eig_backend):
+    order, L = spec.order, spec.L
+    rdtype = eps_grids[0].dtype
+    N = (2 * order[0] + 1) * (2 * order[1] + 1)
+    omega = 2 * PI_REF * freq
+
+    if spec.has_input:
+        n_ref = cplx.csqrt(eps_in)[0]
+    else:
+        n_ref = jnp.asarray(1., rdtype)
+    kx, ky = kvectors_real(freq, inc_ang, azi_ang, n_ref, order, L, rdtype)
+
+    one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
+    kz_f = _kz_pair(one, kx, ky)
+    Vf = vmat_pair(kx, ky, kz_f)
+    Vf_inv = _bdp_inv(Vf)
+
+    nx, ny = eps_grids[0].shape[-2:]
+
+    # conv matrices for all layers (vmapped DFT matmuls)
+    conv = jax.vmap(lambda gr, gi: dft_conv_pair((gr, gi), order, nx, ny))(
+        eps_grids[0], eps_grids[1])
+
+    # per-layer S-matrices (vmapped: one batched eig across layers)
+    def one_layer(cr, ci, t):
+        return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega, t,
+                                  broadening, eig_backend)
+
+    if spec.n_layers > 1:
+        S11, S21, G, D, kz, E, H = jax.vmap(one_layer)(
+            conv[0], conv[1], thicknesses)
+    else:
+        S11, S21, G, D, kz, E, H = jax.tree.map(
+            lambda x: x[None], one_layer(conv[0][0], conv[1][0],
+                                         thicknesses[0]))
+
+    internals = dict(G=G, D=D, kz=kz, E=E, H=H, conv=conv, kx=kx, ky=ky)
+
+    # Redheffer fold over layers
+    S = [jax.tree.map(lambda x: x[0], S11), jax.tree.map(lambda x: x[0], S21),
+         jax.tree.map(lambda x: x[0], S21), jax.tree.map(lambda x: x[0], S11)]
+    for i in range(1, spec.n_layers):
+        Sn = [jax.tree.map(lambda x: x[i], S11), jax.tree.map(lambda x: x[i], S21),
+              jax.tree.map(lambda x: x[i], S21), jax.tree.map(lambda x: x[i], S11)]
+        S, _, _ = redheffer_pair(S, Sn)
+
+    if spec.has_input:
+        kz_i = _kz_pair(eps_in, kx, ky)
+        Vi = vmat_pair(kx, ky, kz_i)
+        Sin = [_bdp_dense(b) for b in interface_in_pair(Vf, Vi)]
+        S, _, _ = redheffer_pair(Sin, S)
+
+    if spec.has_output:
+        kz_o = _kz_pair(eps_out, kx, ky)
+        Vo = vmat_pair(kx, ky, kz_o)
+        Sout = [_bdp_dense(b) for b in interface_out_pair(Vf, Vo)]
+        S, _, _ = redheffer_pair(S, Sout)
+
+    return S, internals
+
+
+def sparam_xy_pair(S, kx, ky, eps_in, eps_out, order, orders, ref_order,
+                   polarization='xx', direction='forward',
+                   port='transmission', evanescent=1e-3):
+    """xy-polarization S-parameter extraction, split-real
+    (rcwa.py:346-408 with power_norm=True)."""
+    N = (2 * order[0] + 1) * (2 * order[1] + 1)
+    oi = _match(orders, order)
+    ri = _match(np.asarray(ref_order).reshape(1, 2), order)
+    oi_p = oi + (N if polarization in ('yx', 'yy') else 0)
+    ri_p = ri + (N if polarization in ('xy', 'yy') else 0)
+
+    def kz_real(eps):
+        kzc = cplx.csqrt((eps[0] - kx ** 2 - ky ** 2,
+                          eps[1] + jnp.zeros_like(kx)))
+        ev = jnp.abs(kzc[0] / kzc[1]) < evanescent
+        v = jnp.where(ev, 0., kzc[0])
+        return jnp.concatenate([v, v])
+
+    kz_in = kz_real(eps_in)
+    kz_out = kz_real(eps_out)
+    kxr = jnp.concatenate([kx, kx])
+    kyr = jnp.concatenate([ky, ky])
+    pol_map = {'xx': (kxr, kxr), 'xy': (kxr, kyr),
+               'yx': (kyr, kxr), 'yy': (kyr, kyr)}
+    num_pol, den_pol = pol_map[polarization]
+    sel = {('forward', 'transmission'): (kz_out, kz_in, 0),
+           ('forward', 'reflection'): (kz_in, kz_in, 1),
+           ('backward', 'reflection'): (kz_out, kz_out, 2),
+           ('backward', 'transmission'): (kz_in, kz_out, 3)}
+    num_kz, den_kz, blk = sel[(direction, port)]
+    norm = jnp.sqrt((1 + (num_pol[oi_p] / num_kz[oi_p]) ** 2)
+                    / (1 + (den_pol[ri_p] / den_kz[ri_p]) ** 2))
+    norm = norm * jnp.sqrt(num_kz[oi_p] / den_kz[ri_p])
+    sr = S[blk][0][oi_p, ri_p] * norm
+    si = S[blk][1][oi_p, ri_p] * norm
+    bad = ~jnp.isfinite(sr) | ~jnp.isfinite(si)
+    return jnp.where(bad, 0., sr), jnp.where(bad, 0., si)
+
+
+def _match(orders, order):
+    orders = np.asarray(orders, dtype=np.int64).reshape(-1, 2)
+    m = np.clip(orders[:, 0], -order[0], order[0])
+    n = np.clip(orders[:, 1], -order[1], order[1])
+    return (2 * order[1] + 1) * (m + order[0]) + (n + order[1])
+
+
+# ---------------------------------------------------------------------------
+# Convenience: Example1-shaped forward (the benchmark workload)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('spec', 'eig_backend'))
+def simulate_txx(spec: StackSpec, freq, eps_grid_re, eps_grid_im,
+                 thickness, eps_in_re, eig_backend='auto'):
+    """|t_xx|^2 of the (0,0) order for one patterned layer on a substrate —
+    the Example1 per-wavelength workload (fwd path of the benchmark)."""
+    eps_in = (eps_in_re, jnp.asarray(0., eps_grid_re.dtype))
+    S, internals = solve_stack_pair(
+        spec, freq, jnp.asarray(0., eps_grid_re.dtype),
+        jnp.asarray(0., eps_grid_re.dtype),
+        (eps_grid_re[None], eps_grid_im[None]), thickness[None],
+        eps_in=eps_in, eig_backend=eig_backend)
+    one = (jnp.asarray(1., eps_grid_re.dtype), jnp.asarray(0., eps_grid_re.dtype))
+    tr, ti = sparam_xy_pair(S, internals['kx'], internals['ky'], eps_in, one,
+                            spec.order, [0, 0], [0, 0], 'xx')
+    return (tr ** 2 + ti ** 2)[0]

@@ -1,0 +1,153 @@
+"""Split-real complex linear algebra: complex matrices as (re, im) float pairs.
+
+TPUs have no complex ALU — XLA decomposes complex math into real ops — and
+the TPU runtime here does not reliably lower complex64 at all (loop carries,
+scatter, even transfers).  This module makes the decomposition explicit so
+the whole RCWA solve runs on plain float32/float64 tensors: every matmul is
+a real MXU matmul, every solve a real LU.
+
+A "cpair" is a tuple (re, im) of equal-shape real arrays.  Supported leading
+batch dims pass straight through.
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    'split', 'fuse', 'cadd', 'csub', 'cneg', 'conj', 'cmul', 'cdivide',
+    'cmm', 'conjT', 'cexp_i', 'csolve', 'cinv', 'cabs', 'cabs2', 'csqrt',
+    'scale_rows', 'scale_cols', 'ceye', 'czeros',
+]
+
+
+def split(z):
+    z = jnp.asarray(z)
+    return jnp.real(z), jnp.imag(z)
+
+
+def fuse(c):
+    return c[0] + 1j * c[1]
+
+
+def cadd(a, b):
+    return a[0] + b[0], a[1] + b[1]
+
+
+def csub(a, b):
+    return a[0] - b[0], a[1] - b[1]
+
+
+def cneg(a):
+    return -a[0], -a[1]
+
+
+def conj(a):
+    return a[0], -a[1]
+
+
+def cmul(a, b):
+    """Elementwise complex product."""
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def cdivide(a, b):
+    """Elementwise complex division."""
+    d = b[0] * b[0] + b[1] * b[1]
+    d = jnp.where(d > 0, d, 1.)
+    return ((a[0] * b[0] + a[1] * b[1]) / d,
+            (a[1] * b[0] - a[0] * b[1]) / d)
+
+
+def cabs2(a):
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def cabs(a):
+    return jnp.sqrt(cabs2(a))
+
+
+def csqrt(a):
+    """Principal elementwise complex sqrt (cpair in, cpair out)."""
+    return _csqrt(a[0], a[1])
+
+
+@jax.custom_jvp
+def _csqrt(ar, ai):
+    r = jnp.sqrt(ar * ar + ai * ai)
+    re = jnp.sqrt(jnp.maximum((r + ar) / 2, 0.))
+    im = jnp.sqrt(jnp.maximum((r - ar) / 2, 0.))
+    return re, jnp.where(ai < 0, -im, im)
+
+
+@_csqrt.defjvp
+def _csqrt_jvp(primals, tangents):
+    # d sqrt(z) = dz / (2 sqrt(z)).  The half-angle forward formula hits
+    # sqrt'(0) = inf whenever the input is exactly real (im == 0, routine at
+    # float32), so the derivative is supplied analytically; cdivide's
+    # zero-denominator guard maps the non-differentiable point z = 0 to 0
+    # instead of nan.
+    ar, ai = primals
+    dar, dai = tangents
+    w = _csqrt(ar, ai)
+    dw = cdivide((dar, dai), (2 * w[0], 2 * w[1]))
+    return w, dw
+
+
+def cmm(a, b):
+    """Complex matmul via 4 real matmuls (batched '@' semantics)."""
+    return (a[0] @ b[0] - a[1] @ b[1],
+            a[0] @ b[1] + a[1] @ b[0])
+
+
+def conjT(a):
+    return (jnp.swapaxes(a[0], -2, -1), -jnp.swapaxes(a[1], -2, -1))
+
+
+def cexp_i(theta_pair):
+    """exp(1j * z) for a cpair z = x + iy: e^{-y} (cos x, sin x)."""
+    x, y = theta_pair
+    m = jnp.exp(-y)
+    return m * jnp.cos(x), m * jnp.sin(x)
+
+
+def scale_rows(s, a):
+    """diag(s) @ A for a cpair vector s and cpair matrix A."""
+    return (s[0][..., :, None] * a[0] - s[1][..., :, None] * a[1],
+            s[0][..., :, None] * a[1] + s[1][..., :, None] * a[0])
+
+
+def scale_cols(a, s):
+    """A @ diag(s)."""
+    return (a[0] * s[0][..., None, :] - a[1] * s[1][..., None, :],
+            a[1] * s[0][..., None, :] + a[0] * s[1][..., None, :])
+
+
+def ceye(n, rdtype=jnp.float32):
+    return jnp.eye(n, dtype=rdtype), jnp.zeros((n, n), rdtype)
+
+
+def czeros(shape, rdtype=jnp.float32):
+    return jnp.zeros(shape, rdtype), jnp.zeros(shape, rdtype)
+
+
+def csolve(a, b):
+    """Solve (Ar + iAi) X = (Br + iBi) via the real augmented system
+    [[Ar, -Ai], [Ai, Ar]] [Xr; Xi] = [Br; Bi]  (one real LU, same flop count
+    as a complex LU, lowers everywhere on TPU)."""
+    ar, ai = a
+    br, bi = b
+    M = jnp.concatenate([
+        jnp.concatenate([ar, -ai], axis=-1),
+        jnp.concatenate([ai, ar], axis=-1),
+    ], axis=-2)
+    rhs = jnp.concatenate([br, bi], axis=-2)
+    x = jnp.linalg.solve(M, rhs)
+    n = ar.shape[-2]
+    return x[..., :n, :], x[..., n:, :]
+
+
+def cinv(a):
+    n = a[0].shape[-1]
+    eye = jnp.eye(n, dtype=a[0].dtype)
+    eye = jnp.broadcast_to(eye, a[0].shape)
+    return csolve(a, (eye, jnp.zeros_like(eye)))

@@ -11,17 +11,19 @@ whose backward pass is stabilized with Lorentzian broadening,
 where ``eps`` is the broadening parameter (``None`` selects the smallest
 subnormal of the dtype, mirroring torch_eig.py:28-33).
 
-Forward-pass backends
----------------------
-``'qr'``       TPU-native batched Hessenberg + implicitly-shifted QR +
-               back-substitution eigenvectors (see ``eig_qr.py``).  Runs
-               entirely on-device under jit/vmap; the production TPU path.
-``'callback'`` ``jax.pure_callback`` to host LAPACK (numpy.linalg.eig).
-               The natural choice on CPU and a cross-check oracle on TPU.
-``'auto'``     'callback' on CPU, 'qr' on TPU.
+Layout: the primitive, :func:`eig_pair`, operates on split-real (re, im)
+float pairs — the only layout whose loops/scatters lower on this TPU
+runtime, and the MXU-native one.  The complex-in/complex-out :func:`eig` is
+a thin wrapper.  The custom VJP is registered on the pair primitive so
+gradients also stay complex-free on device.
 
-The backward formula is backend-independent: it only consumes the forward
-results, so gradients are identical (and identically stabilized) either way.
+Forward backends
+----------------
+``'qr'``       TPU-native split-real Hessenberg + shifted-QR +
+               back-substitution (``eig_qr_real.py``); on-device, jit/vmap.
+``'callback'`` host LAPACK via ``jax.pure_callback`` (pairs cross the
+               host boundary; numpy does the complex fuse on host).
+``'auto'``     'callback' on CPU, 'qr' elsewhere.
 """
 
 import functools
@@ -30,30 +32,49 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['eig', 'Eig']
+from . import cplx
+
+__all__ = ['eig', 'eig_pair', 'Eig']
 
 # Smallest positive subnormals, mirroring the reference's fallback
 # broadening (torch_eig.py:31-33).
-_TINY = {np.dtype(np.complex64): 1.4e-45, np.dtype(np.complex128): 4.9e-324}
+_TINY = {np.dtype(np.float32): 1.4e-45, np.dtype(np.float64): 4.9e-324}
+
+# Dtype-aware default broadening ('auto').  The reference defaults to 1e-10
+# (torch_eig.py:9, README.md:67), which is appropriate at float64 but far
+# below eigensolver noise at float32: symmetry-degenerate RCWA eigenpairs
+# split by ~1e-4..1e-6 in float32, and F ~ 1/(|s|^2 + eps) then amplifies
+# eigenvector noise by orders of magnitude (measured: grad norm inflated
+# 100x on TPU at 1e-10; converged to the float64 truth at 1e-6).
+_AUTO_BROADENING = {np.dtype(np.float32): 1e-6, np.dtype(np.float64): 1e-10}
 
 
 # ---------------------------------------------------------------------------
 # Forward backends
 # ---------------------------------------------------------------------------
 
-def _eig_host(a):
-    """Host LAPACK eig; handles arbitrary leading batch dims."""
+def _eig_host(ar, ai):
+    # Force numpy immediately: the callback may receive jax Arrays, and
+    # dispatching jnp ops from the callback thread deadlocks against the
+    # main thread's dispatch lock.
+    ar = np.asarray(ar)
+    ai = np.asarray(ai)
+    a = (ar + 1j * ai).astype(np.complex64 if ar.dtype == np.float32
+                              else np.complex128)
     w, v = np.linalg.eig(a)
-    return w.astype(a.dtype), v.astype(a.dtype)
+    return (w.real.astype(ar.dtype), w.imag.astype(ar.dtype),
+            v.real.astype(ar.dtype), v.imag.astype(ar.dtype))
 
 
-def _eig_callback(A):
-    n = A.shape[-1]
+def _eig_callback_pair(ar, ai):
+    shape, dt = ar.shape, ar.dtype
     result_shape = (
-        jax.ShapeDtypeStruct(A.shape[:-1], A.dtype),      # eigvals
-        jax.ShapeDtypeStruct(A.shape, A.dtype),           # eigvecs
+        jax.ShapeDtypeStruct(shape[:-1], dt),
+        jax.ShapeDtypeStruct(shape[:-1], dt),
+        jax.ShapeDtypeStruct(shape, dt),
+        jax.ShapeDtypeStruct(shape, dt),
     )
-    return jax.pure_callback(_eig_host, result_shape, A,
+    return jax.pure_callback(_eig_host, result_shape, ar, ai,
                              vmap_method='broadcast_all')
 
 
@@ -63,79 +84,101 @@ def _resolve_backend(backend):
     return backend
 
 
-def _eig_fwd_impl(A, backend):
+def _eig_pair_fwd_impl(ar, ai, backend):
     backend = _resolve_backend(backend)
     if backend == 'callback':
-        return _eig_callback(A)
+        return _eig_callback_pair(ar, ai)
     elif backend == 'qr':
+        from . import eig_qr_real
+        return eig_qr_real.eig_qr_real(ar, ai)
+    elif backend == 'qr_complex':
+        # complex-arithmetic twin, CPU-only cross-check oracle
         from . import eig_qr
-        return eig_qr.eig_qr(A)
+        w, v = eig_qr.eig_qr(ar + 1j * ai)
+        return (jnp.real(w), jnp.imag(w), jnp.real(v), jnp.imag(v))
     else:
         raise ValueError(f'Unknown eig backend: {backend!r}')
 
 
 # ---------------------------------------------------------------------------
-# Custom VJP
+# Custom VJP on the split-real primitive
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def eig(A, broadening=1e-10, backend='auto'):
-    """Eigendecomposition of a general complex matrix with stabilized VJP.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def eig_pair(ar, ai, broadening='auto', backend='auto'):
+    """Split-real eig: (ar, ai) [..., n, n] -> (wr, wi, vr, vi).
 
-    Args:
-      A: [..., n, n] complex64/complex128 matrix (batched ok).
-      broadening: Lorentzian broadening parameter for the backward pass
-        (static).  ``None`` uses the dtype's smallest subnormal.
-      backend: 'auto' | 'qr' | 'callback' (static).
-
-    Returns:
-      (eigvals [..., n], eigvecs [..., n, n]) — column eigenvectors,
-      unit 2-norm (up to backend-dependent phase).
+    broadening/backend are static.  Eigenvectors have unit 2-norm up to a
+    backend-dependent phase (downstream RCWA math is gauge-invariant).
     """
-    return _eig_fwd_impl(A, backend)
+    return _eig_pair_fwd_impl(ar, ai, backend)
 
 
-def _eig_fwd(A, broadening, backend):
-    w, v = _eig_fwd_impl(A, backend)
-    return (w, v), (w, v)
+def _eig_pair_fwd(ar, ai, broadening, backend):
+    out = _eig_pair_fwd_impl(ar, ai, backend)
+    return out, out
 
 
-def _eig_bwd(broadening, backend, res, cotangents):
-    eigval, eigvec = res
-    # JAX's VJP convention is the *transpose* of the JVP (no conjugation),
-    # whereas the reference formula (torch_eig.py:19-44) is written in
-    # torch's adjoint convention.  The exact adapter between the two is
-    #   grad_jax = conj(grad_torch(conj(cotangents))),
-    # which keeps the broadened-F semantics bit-identical to the reference.
-    grad_eigval = jnp.conj(cotangents[0])
-    grad_eigvec = jnp.conj(cotangents[1])
+def _eig_pair_bwd(broadening, backend, res, cts):
+    wr, wi, vr, vi = res
+    # Convention note: for a real-valued loss L, the real-pair cotangents
+    # (dL/d_re, dL/d_im) read as a complex number are exactly torch's
+    # adjoint-convention cotangent (z.grad = dL/d_re + i dL/d_im), so the
+    # reference formula (torch_eig.py:19-44) applies to the pairs verbatim
+    # — no conjugation adapters.  (JAX's *complex* transpose convention
+    # differs by a conj, but jnp.real/imag/complex transposes insert
+    # exactly that conj at the pair<->complex boundaries; verified by the
+    # lossy-material gradient tests.)
+    gw = (cts[0], cts[1])
+    gv = (cts[2], cts[3])
+    w = (wr, wi)
+    v = (vr, vi)
 
     if broadening is None:
-        eps = _TINY[np.dtype(eigval.dtype)]
+        eps = _TINY[np.dtype(wr.dtype)]
+    elif broadening == 'auto':
+        eps = _AUTO_BROADENING[np.dtype(wr.dtype)]
     else:
         eps = broadening
 
-    # s[..., i, j] = lambda_j - lambda_i (torch_eig.py:25)
-    s = eigval[..., None, :] - eigval[..., :, None]
-    n = s.shape[-1]
+    n = wr.shape[-1]
     diag = jnp.eye(n, dtype=bool)
-    # Mask the diagonal *before* dividing: with eps == 0 (unstabilized mode)
-    # the diagonal would otherwise be 0/0 = nan, poisoning the whole grad.
-    s_safe = jnp.where(diag, 1.0, s)
-    F = jnp.conj(s_safe) / (jnp.abs(s_safe) ** 2 + eps)
-    F = jnp.where(diag, 0.0, F)  # zero diagonal (torch_eig.py:35-36)
+    # s[..., i, j] = w_j - w_i  (torch_eig.py:25)
+    sr = wr[..., None, :] - wr[..., :, None]
+    si = wi[..., None, :] - wi[..., :, None]
+    # mask diagonal before dividing (0/0 guard for broadening == 0)
+    sr_safe = jnp.where(diag, 1., sr)
+    si_safe = jnp.where(diag, 0., si)
+    d = sr_safe ** 2 + si_safe ** 2 + eps
+    # conj(F) = s / (|s|^2 + eps), diag zeroed  (torch_eig.py:29,36,38)
+    cF = (jnp.where(diag, 0., sr_safe / d), jnp.where(diag, 0., si_safe / d))
 
-    XH = jnp.conj(jnp.swapaxes(eigvec, -2, -1))
-    tmp = jnp.conj(F) * (XH @ grad_eigvec)
-    inner = tmp + jnp.einsum('...i,ij->...ij', grad_eigval,
-                             jnp.eye(n, dtype=grad_eigval.dtype))
-    # X^-H @ inner @ X^H, via a solve for stability (same math as
-    # torch_eig.py:40's explicit inverse).
-    grad = jnp.linalg.solve(XH, inner @ XH)
-    return (jnp.conj(grad),)
+    XH = cplx.conjT(v)
+    tmp = cplx.cmul(cF, cplx.cmm(XH, gv))
+    eye = jnp.eye(n, dtype=wr.dtype)
+    inner = (tmp[0] + gw[0][..., :, None] * eye,
+             tmp[1] + gw[1][..., :, None] * eye)
+    # X^-H (inner) X^H via one augmented-real solve (torch_eig.py:40)
+    grad = cplx.csolve(XH, cplx.cmm(inner, XH))
+    return (grad[0], grad[1])
 
 
-eig.defvjp(_eig_fwd, _eig_bwd)
+eig_pair.defvjp(_eig_pair_fwd, _eig_pair_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Complex-in/out convenience wrapper
+# ---------------------------------------------------------------------------
+
+def eig(A, broadening='auto', backend='auto'):
+    """Eigendecomposition of a general complex matrix with stabilized VJP.
+
+    Thin complex wrapper over :func:`eig_pair`; autodiff composes through
+    the split/fuse isomorphism, so gradients use the broadened pair VJP.
+    """
+    A = jnp.asarray(A)
+    wr, wi, vr, vi = eig_pair(jnp.real(A), jnp.imag(A), broadening, backend)
+    return wr + 1j * wi, vr + 1j * vi
 
 
 class Eig:
