@@ -1,0 +1,144 @@
+"""Benchmark: Example1-shaped wavelength sweep, fwd+grad per solve.
+
+Workload (mirrors /root/reference/example/Example1.ipynb + Example5's
+adjoint pattern): N_LAMBDA wavelengths, each a 1-layer patterned meta-atom
+solve; loss = mean |t_xx(0,0)|^2; gradient wrt the permittivity raster.
+Ours runs the whole sweep as ONE vmapped+jitted fwd+grad on the default
+JAX backend.  Baseline = the PyTorch reference executing the identical
+physics sequentially on this machine's CPU (measured once, cached).
+
+Prints one JSON line:
+  {"metric": ..., "value": <s per solve>, "unit": "s/solve",
+   "vs_baseline": <baseline_per_solve / ours_per_solve>}  (>1 == faster)
+
+Env knobs: BENCH_ORDER (default 4) harmonic order per axis; BENCH_NLAM
+(default 16) sweep size; BENCH_GRID (default 256) raster resolution.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+ORDER = int(os.environ.get('BENCH_ORDER', '4'))
+N_LAM = int(os.environ.get('BENCH_NLAM', '16'))
+GRID = int(os.environ.get('BENCH_GRID', '256'))
+L = (300., 300.)
+W = 160.
+THICK = 600.
+EPS_HI = 2.0709 ** 2
+EPS_SUB = 1.46 ** 2
+LAM = np.linspace(400., 700., N_LAM)
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      '.bench_reference.json')
+
+
+def measure_ours():
+    import jax
+    import jax.numpy as jnp
+    import torcwa_tpu as tt
+    from torcwa_tpu.fmm import StackSpec, solve_stack_pair, sparam_xy_pair
+
+    rdtype = jnp.float32
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID, edge_sharpness=500.,
+                    dtype=rdtype)
+    geom = g.rectangle(W, W, L[0] / 2., L[1] / 2.)
+    eps = jnp.asarray(geom * EPS_HI + (1. - geom), rdtype)
+    spec = StackSpec(order=(ORDER, ORDER), L=L, n_layers=1, has_input=True)
+    freqs = jnp.asarray(1.0 / LAM, rdtype)
+
+    def point_T(freq, er):
+        S, intr = solve_stack_pair(
+            spec, freq, jnp.asarray(0., rdtype), jnp.asarray(0., rdtype),
+            (er[None], jnp.zeros_like(er)[None]),
+            jnp.asarray([THICK], rdtype),
+            eps_in=(jnp.asarray(EPS_SUB, rdtype), jnp.asarray(0., rdtype)),
+            eig_backend='qr')
+        one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
+        tr, ti = sparam_xy_pair(
+            S, intr['kx'], intr['ky'],
+            (jnp.asarray(EPS_SUB, rdtype), jnp.asarray(0., rdtype)), one,
+            spec.order, [0, 0], [0, 0], 'xx')
+        return (tr ** 2 + ti ** 2)[0]
+
+    def loss(er):
+        return jnp.mean(jax.vmap(lambda f: point_T(f, er))(freqs))
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    val, grad = vg(eps)            # compile + first run
+    val.block_until_ready()
+    t0 = time.time()
+    val, grad = vg(eps)
+    grad.block_until_ready()
+    dt = time.time() - t0
+    assert np.isfinite(float(val)) and np.isfinite(float(jnp.sum(grad)))
+    return dt / N_LAM
+
+
+def measure_reference(n_solves=4):
+    """Reference torcwa (torch, CPU) on the identical workload."""
+    import sys
+    import torch
+    sys.path.insert(0, '/root/reference')
+    import torcwa
+
+    dev = torch.device('cpu')
+    x = (torch.arange(GRID, dtype=torch.float32) + 0.5) * (L[0] / GRID)
+    y = (torch.arange(GRID, dtype=torch.float32) + 0.5) * (L[1] / GRID)
+    X, Y = torch.meshgrid(x, y, indexing='ij')
+    lev = torch.minimum(W / 2 - torch.abs(X - L[0] / 2),
+                        W / 2 - torch.abs(Y - L[1] / 2))
+    geom = torch.sigmoid(500. * lev / L[0])
+    eps0 = geom * EPS_HI + (1. - geom)
+
+    t0 = time.time()
+    for lam in LAM[:n_solves]:
+        eps = eps0.clone().requires_grad_(True)
+        sim = torcwa.rcwa(freq=1. / lam, order=[ORDER, ORDER], L=list(L),
+                          dtype=torch.complex64, device=dev,
+                          stable_eig_grad=True)
+        sim.add_input_layer(eps=EPS_SUB)
+        sim.set_incident_angle(inc_ang=0., azi_ang=0.)
+        sim.add_layer(thickness=THICK, eps=eps)
+        sim.solve_global_smatrix()
+        txx = sim.S_parameters(orders=[0, 0], direction='forward',
+                               port='transmission', polarization='xx',
+                               ref_order=[0, 0])
+        T = (txx.abs() ** 2)[0]
+        T.backward()
+    return (time.time() - t0) / n_solves
+
+
+def reference_per_solve():
+    key = f'order{ORDER}_grid{GRID}'
+    cache = {}
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cache = json.load(f)
+    if key not in cache:
+        try:
+            cache[key] = measure_reference()
+            with open(_CACHE, 'w') as f:
+                json.dump(cache, f)
+        except Exception as e:                          # torch/ref missing
+            print(f'# reference measurement failed: {e}')
+            return None
+    return cache[key]
+
+
+def main():
+    ours = measure_ours()
+    ref = reference_per_solve()
+    vs = (ref / ours) if ref else None
+    print(json.dumps({
+        'metric': f'example1_sweep_fwd_grad_per_solve_order{ORDER}',
+        'value': round(ours, 4),
+        'unit': 's/solve',
+        'vs_baseline': round(vs, 4) if vs else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()
