@@ -1,4 +1,7 @@
 """Drive the split-real functional RCWA path on the real TPU chip."""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 import time
 import jax
 import jax.numpy as jnp

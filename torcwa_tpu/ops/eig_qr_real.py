@@ -158,46 +158,35 @@ def _wilkinson_real(ar, ai, br, bi, cr, ci, dr, di):
 
 
 def schur_qr_real(Hr, Hi, Qr, Qi, max_iter_factor=40):
+    """Implicit single-shift QR on a split-real Hessenberg pair.
+
+    Structured for this runtime's loop cost model (measured): all in-loop
+    mutation is dynamic_slice + dynamic_update_slice on (2,n)/(n,2) panels
+    (~1-3us/step); no full-matrix elementwise rewrites inside the loop (a
+    whole-carry rewrite costs ~1000x a DUS here); window detection is two
+    masked max-reductions, not a scalar scan.  Deflated subdiagonals are
+    never written in-loop — the window logic just stops crossing them
+    (equivalent to LAPACK's set-to-zero up to the same backward error);
+    the lower triangle is zeroed once at the end.
+    """
     n = Hr.shape[-1]
     rdtype = Hr.dtype
     eps, smlnum = _consts(rdtype)
     if n == 1:
         return Hr, Hi, Qr, Qi
     idx = jnp.arange(n)
-    row = idx[:, None]
-    col = idx[None, :]
-    on_sub = row == col + 1
+    idx1 = jnp.arange(1, n)
+    coln = jnp.arange(n)
     max_iters = max_iter_factor * n
 
-    def deflate(Hr, Hi):
-        d = jnp.sqrt(jnp.diagonal(Hr) ** 2 + jnp.diagonal(Hi) ** 2)
-        tst = d + jnp.concatenate([d[1:], d[-1:]])
-        thresh = jnp.maximum(eps * tst, smlnum)
-        sub2 = jnp.diagonal(Hr, -1) ** 2 + jnp.diagonal(Hi, -1) ** 2
-        keep = sub2 > thresh[:-1] ** 2
-        keep_full = jnp.concatenate([keep, jnp.zeros((1,), bool)])[col]
-        kill = on_sub & ~keep_full
-        return jnp.where(kill, 0., Hr), jnp.where(kill, 0., Hi)
-
-    def active_window(Hr, Hi, hi):
-        subr = jnp.concatenate([jnp.diagonal(Hr, -1), jnp.zeros((1,), rdtype)])
-        subi = jnp.concatenate([jnp.diagonal(Hi, -1), jnp.zeros((1,), rdtype)])
-        alive = (subr ** 2 + subi ** 2) > 0
-
-        def cond(h):
-            return (h > 0) & ~alive[h - 1]
-
-        hi = lax.while_loop(cond, lambda h: h - 1, hi)
-        cand = jnp.where((idx <= hi) & jnp.concatenate(
-            [jnp.ones((1,), bool), ~alive[:-1]]), idx, 0)
-        lo = jnp.max(cand)
-        return lo, hi
-
     def sweep(Hr, Hi, Zr, Zi, lo, hi, sgr, sgi):
-        x0r = Hr[lo, lo] - sgr
-        x0i = Hi[lo, lo] - sgi
-        y0r = Hr[lo + 1, lo]
-        y0i = Hi[lo + 1, lo]
+        # first rotation from the shifted column (implicit shift)
+        h2 = lax.dynamic_slice(Hr, (lo, lo), (2, 1))
+        h2i = lax.dynamic_slice(Hi, (lo, lo), (2, 1))
+        x0r = h2[0, 0] - sgr
+        x0i = h2i[0, 0] - sgi
+        y0r = h2[1, 0]
+        y0i = h2i[1, 0]
 
         def body(k, state):
             Hr, Hi, Zr, Zi, xr, xi, yr, yi = state
@@ -207,48 +196,58 @@ def schur_qr_real(Hr, Hi, Qr, Qi, max_iter_factor=40):
             sr = jnp.where(active, sr, 0.)
             si = jnp.where(active, si, 0.)
 
-            # left rotation, rows k and k+1:
-            # new_rk = c*rk + s*rk1 ; new_rk1 = -conj(s)*rk + c*rk1
-            rkr, rki = Hr[k, :], Hi[k, :]
-            r1r, r1i = Hr[k + 1, :], Hi[k + 1, :]
-            sr1r, sr1i = _cmul(sr, si, r1r, r1i)
-            nkr, nki = c * rkr + sr1r, c * rki + sr1i
-            csr, csi = _cmul(sr, -si, rkr, rki)     # conj(s) * rk
-            n1r, n1i = -csr + c * r1r, -csi + c * r1i
-            Hr = Hr.at[k, :].set(nkr).at[k + 1, :].set(n1r)
-            Hi = Hi.at[k, :].set(nki).at[k + 1, :].set(n1i)
+            # --- left rotation on the (2, n) row panel ---------------------
+            Rr = lax.dynamic_slice(Hr, (k, 0), (2, n))
+            Ri = lax.dynamic_slice(Hi, (k, 0), (2, n))
+            # new_top = c*top + s*bot ; new_bot = -conj(s)*top + c*bot
+            tr_, ti_ = _cmul(sr, si, Rr[1], Ri[1])
+            ntr = c * Rr[0] + tr_
+            nti = c * Ri[0] + ti_
+            br_, bi_ = _cmul(sr, -si, Rr[0], Ri[0])
+            nbr = c * Rr[1] - br_
+            nbi = c * Ri[1] - bi_
+            # the rotation annihilates the bulge at (k+1, k-1); pin it to
+            # an exact zero inside the panel (keeps the subdiagonal clean
+            # for the deflation test)
+            zap = active & (coln == k - 1)
+            nbr = jnp.where(zap, 0., nbr)
+            nbi = jnp.where(zap, 0., nbi)
+            Hr = lax.dynamic_update_slice(Hr, jnp.stack([ntr, nbr]), (k, 0))
+            Hi = lax.dynamic_update_slice(Hi, jnp.stack([nti, nbi]), (k, 0))
 
-            # right rotation, cols k and k+1:
-            # new_ck = c*ck + conj(s)*ck1 ; new_ck1 = -s*ck + c*ck1
-            ckr, cki = Hr[:, k], Hi[:, k]
-            c1r, c1i = Hr[:, k + 1], Hi[:, k + 1]
-            t1r, t1i = _cmul(sr, -si, c1r, c1i)
-            mkr, mki = c * ckr + t1r, c * cki + t1i
-            t2r, t2i = _cmul(sr, si, ckr, cki)
-            m1r, m1i = -t2r + c * c1r, -t2i + c * c1i
-            Hr = Hr.at[:, k].set(mkr).at[:, k + 1].set(m1r)
-            Hi = Hi.at[:, k].set(mki).at[:, k + 1].set(m1i)
+            # --- right rotation on the (n, 2) column panel -----------------
+            Cr = lax.dynamic_slice(Hr, (0, k), (n, 2))
+            Ci = lax.dynamic_slice(Hi, (0, k), (n, 2))
+            # new_l = c*l + conj(s)*r ; new_r = -s*l + c*r
+            t1r, t1i = _cmul(sr, -si, Cr[:, 1], Ci[:, 1])
+            nlr = c * Cr[:, 0] + t1r
+            nli = c * Ci[:, 0] + t1i
+            t2r, t2i = _cmul(sr, si, Cr[:, 0], Ci[:, 0])
+            nrr = c * Cr[:, 1] - t2r
+            nri = c * Ci[:, 1] - t2i
+            Hr = lax.dynamic_update_slice(Hr, jnp.stack([nlr, nrr], 1), (0, k))
+            Hi = lax.dynamic_update_slice(Hi, jnp.stack([nli, nri], 1), (0, k))
 
-            zkr, zki = Zr[:, k], Zi[:, k]
-            z1r, z1i = Zr[:, k + 1], Zi[:, k + 1]
-            t3r, t3i = _cmul(sr, -si, z1r, z1i)
-            wkr, wki = c * zkr + t3r, c * zki + t3i
-            t4r, t4i = _cmul(sr, si, zkr, zki)
-            w1r, w1i = -t4r + c * z1r, -t4i + c * z1i
-            Zr = Zr.at[:, k].set(wkr).at[:, k + 1].set(w1r)
-            Zi = Zi.at[:, k].set(wki).at[:, k + 1].set(w1i)
+            # --- accumulate Z ---------------------------------------------
+            Wr = lax.dynamic_slice(Zr, (0, k), (n, 2))
+            Wi = lax.dynamic_slice(Zi, (0, k), (n, 2))
+            u1r, u1i = _cmul(sr, -si, Wr[:, 1], Wi[:, 1])
+            nwlr = c * Wr[:, 0] + u1r
+            nwli = c * Wi[:, 0] + u1i
+            u2r, u2i = _cmul(sr, si, Wr[:, 0], Wi[:, 0])
+            nwrr = c * Wr[:, 1] - u2r
+            nwri = c * Wi[:, 1] - u2i
+            Zr = lax.dynamic_update_slice(Zr, jnp.stack([nwlr, nwrr], 1),
+                                          (0, k))
+            Zi = lax.dynamic_update_slice(Zi, jnp.stack([nwli, nwri], 1),
+                                          (0, k))
 
-            # store the exact zero for the annihilated bulge (see eig_qr.py)
-            km1 = jnp.maximum(k - 1, 0)
-            zap = active & (k > lo)
-            Hr = Hr.at[k + 1, km1].set(jnp.where(zap, 0., Hr[k + 1, km1]))
-            Hi = Hi.at[k + 1, km1].set(jnp.where(zap, 0., Hi[k + 1, km1]))
-
+            # --- next rotation source: col k entries (k+1, k+2) ------------
             nxt_ok = k + 2 <= hi
             kk = jnp.minimum(k + 2, n - 1)
-            xnr, xni = Hr[k + 1, k], Hi[k + 1, k]
-            ynr = jnp.where(nxt_ok, Hr[kk, k], 0.)
-            yni = jnp.where(nxt_ok, Hi[kk, k], 0.)
+            xnr, xni = nlr[k + 1], nli[k + 1]
+            ynr = jnp.where(nxt_ok, nlr[kk], 0.)
+            yni = jnp.where(nxt_ok, nli[kk], 0.)
             xr = jnp.where(active, xnr, xr)
             xi = jnp.where(active, xni, xi)
             yr = jnp.where(active, ynr, yr)
@@ -265,30 +264,42 @@ def schur_qr_real(Hr, Hi, Qr, Qi, max_iter_factor=40):
 
     def body(state):
         Hr, Hi, Zr, Zi, hi, it = state
-        Hr, Hi = deflate(Hr, Hi)
-        lo, hi = active_window(Hr, Hi, hi)
+        # --- deflation-aware window, all vector reductions ----------------
+        dgr = jnp.diagonal(Hr)
+        dgi = jnp.diagonal(Hi)
+        d = jnp.sqrt(dgr * dgr + dgi * dgi)
+        sbr = jnp.diagonal(Hr, -1)
+        sbi = jnp.diagonal(Hi, -1)
+        sub2 = sbr * sbr + sbi * sbi
+        thresh = jnp.maximum(eps * (d[:-1] + d[1:]), smlnum)
+        alive = sub2 > thresh * thresh
+        # hi <- largest h <= hi with alive[h-1], else 0
+        hi = jnp.max(jnp.where((idx1 <= hi) & alive, idx1, 0))
+        # lo <- largest l <= hi with l == 0 or ~alive[l-1]
+        lo = jnp.max(jnp.where(
+            (idx <= hi) & jnp.concatenate([jnp.ones((1,), bool), ~alive]),
+            idx, 0))
 
-        def do_sweep(args):
-            Hr, Hi, Zr, Zi = args
-            him1 = jnp.maximum(hi - 1, 0)
-            ar, ai = Hr[him1, him1], Hi[him1, him1]
-            br, bi = Hr[him1, hi], Hi[him1, hi]
-            cr, ci = Hr[hi, him1], Hi[hi, him1]
-            dr, di = Hr[hi, hi], Hi[hi, hi]
-            sgr, sgi = _wilkinson_real(ar, ai, br, bi, cr, ci, dr, di)
-            exc = (it % 13) == 12
-            sgr = jnp.where(exc, dr + 0.75 * jnp.sqrt(cr * cr + ci * ci), sgr)
-            sgi = jnp.where(exc, di, sgi)
-            return sweep(Hr, Hi, Zr, Zi, lo, hi, sgr, sgi)
+        # --- shift from the trailing 2x2 of the window ---------------------
+        him1 = jnp.maximum(hi - 1, 0)
+        B2r = lax.dynamic_slice(Hr, (him1, him1), (2, 2))
+        B2i = lax.dynamic_slice(Hi, (him1, him1), (2, 2))
+        sgr, sgi = _wilkinson_real(B2r[0, 0], B2i[0, 0], B2r[0, 1], B2i[0, 1],
+                                   B2r[1, 0], B2i[1, 0], B2r[1, 1], B2i[1, 1])
+        exc = (it % 13) == 12
+        sgr = jnp.where(
+            exc, B2r[1, 1] + 0.75 * jnp.sqrt(B2r[1, 0] ** 2 + B2i[1, 0] ** 2),
+            sgr)
+        sgi = jnp.where(exc, B2i[1, 1], sgi)
 
-        Hr, Hi, Zr, Zi = lax.cond(hi > 0, do_sweep, lambda a: a,
-                                  (Hr, Hi, Zr, Zi))
+        # sweep is masked to [lo, hi); when the window is empty every step
+        # is an identity rotation, and cond() ends the loop right after
+        Hr, Hi, Zr, Zi = sweep(Hr, Hi, Zr, Zi, lo, hi, sgr, sgi)
         return (Hr, Hi, Zr, Zi, hi, it + 1)
 
     Hr, Hi, Zr, Zi, _, _ = lax.while_loop(
         cond, body, (Hr, Hi, Qr, Qi, n - 1, 0))
-    Hr, Hi = deflate(Hr, Hi)
-    lower = row > col
+    lower = idx[:, None] > idx[None, :]
     Hr = jnp.where(lower, 0., Hr)
     Hi = jnp.where(lower, 0., Hi)
     return Hr, Hi, Zr, Zi
@@ -362,7 +373,13 @@ def _eig_real_single(Ar, Ai):
     # in bf16 passes, which stalls deflation and corrupts eigenvectors.
     with jax.default_matmul_precision('highest'):
         Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
-        Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
+        if jax.default_backend() == 'cpu':
+            # XLA-loop QR: fine on CPU, ~25us/rotation on the TPU runtime
+            Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
+        else:
+            # single-kernel QR with H/Z resident in VMEM (13.7x on v5e)
+            from .eig_qr_pallas import schur_qr_pallas
+            Tr, Ti, Zr, Zi = schur_qr_pallas(Hr, Hi, Qr, Qi)
         wr, wi = jnp.diagonal(Tr), jnp.diagonal(Ti)
         Vr, Vi = eig_tri_vectors_real(Tr, Ti, Zr, Zi)
     return wr, wi, Vr, Vi
