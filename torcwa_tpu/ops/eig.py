@@ -84,13 +84,32 @@ def _resolve_backend(backend):
     return backend
 
 
+@jax.custom_batching.custom_vmap
+def _eig_qr_vmappable(ar, ai):
+    from . import eig_qr_real
+    return eig_qr_real.eig_qr_real(ar, ai)
+
+
+@_eig_qr_vmappable.def_vmap
+def _eig_qr_vmap_rule(axis_size, in_batched, ar, ai):
+    # Collapse the mapped axis into the kernel batch: one Pallas launch
+    # iterates all lanes of a VMEM-sized chunk instead of vmap turning the
+    # kernel into a sequential grid.
+    if not in_batched[0]:
+        ar = jnp.broadcast_to(ar[None], (axis_size,) + ar.shape)
+    if not in_batched[1]:
+        ai = jnp.broadcast_to(ai[None], (axis_size,) + ai.shape)
+    from . import eig_qr_real
+    out = eig_qr_real.eig_qr_real(ar, ai)
+    return out, (True, True, True, True)
+
+
 def _eig_pair_fwd_impl(ar, ai, backend):
     backend = _resolve_backend(backend)
     if backend == 'callback':
         return _eig_callback_pair(ar, ai)
     elif backend == 'qr':
-        from . import eig_qr_real
-        return eig_qr_real.eig_qr_real(ar, ai)
+        return _eig_qr_vmappable(ar, ai)
     elif backend == 'qr_complex':
         # complex-arithmetic twin, CPU-only cross-check oracle
         from . import eig_qr

@@ -385,6 +385,20 @@ def _eig_real_single(Ar, Ai):
     return wr, wi, Vr, Vi
 
 
+@jax.jit
+def _eig_real_batched(fr, fi):
+    """[B, n, n] pairs -> batched eig via the batched Pallas Schur kernel
+    (all matrices of a VMEM-sized chunk iterate inside one kernel)."""
+    from .eig_qr_pallas import schur_qr_pallas_acc
+    with jax.default_matmul_precision('highest'):
+        Hr, Hi, Qr, Qi = jax.vmap(hessenberg_real)(fr, fi)
+        Tr, Ti, Zr, Zi = schur_qr_pallas_acc(Hr, Hi, Qr, Qi)
+        wr = jnp.diagonal(Tr, axis1=-2, axis2=-1)
+        wi = jnp.diagonal(Ti, axis1=-2, axis2=-1)
+        Vr, Vi = jax.vmap(eig_tri_vectors_real)(Tr, Ti, Zr, Zi)
+    return wr, wi, Vr, Vi
+
+
 def eig_qr_real(Ar, Ai):
     """Split-real batched eig: (Ar, Ai) [..., n, n] float pairs ->
     (wr, wi, Vr, Vi)."""
@@ -394,7 +408,10 @@ def eig_qr_real(Ar, Ai):
     batch = Ar.shape[:-2]
     fr = Ar.reshape((-1, n, n))
     fi = Ai.reshape((-1, n, n))
-    wr, wi, Vr, Vi = jax.vmap(_eig_real_single)(fr, fi)
+    if jax.default_backend() == 'cpu':
+        wr, wi, Vr, Vi = jax.vmap(_eig_real_single)(fr, fi)
+    else:
+        wr, wi, Vr, Vi = _eig_real_batched(fr, fi)
     return (wr.reshape(batch + (n,)), wi.reshape(batch + (n,)),
             Vr.reshape(batch + (n, n)), Vi.reshape(batch + (n, n)))
 
