@@ -669,3 +669,136 @@ def eig_tri_vectors_pallas(Tr, Ti, Zr, Zi, interpret=False):
         outs.append(_call_vec(Tr[s:e], Ti[s:e], Zr[s:e], Zi[s:e], interpret))
     return (jnp.concatenate([o[0] for o in outs], axis=0),
             jnp.concatenate([o[1] for o in outs], axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Hessenberg reduction kernel
+# ---------------------------------------------------------------------------
+#
+# Householder reduction with the whole batch resident in VMEM.  Each step
+# builds the reflector from column k (masked full-matrix reduce — the
+# lane dimension cannot be dynamically sliced here), then applies it with
+# two MXU matvecs and three outer-product updates.  The XLA-loop twin
+# (eig_qr_real.hessenberg_real) pays ~10 dispatches x O(n^2) per step,
+# ~30x slower at n=162 and O(n) worse with n.
+
+
+def _kernel_hess(ar_in, ai_in, hr_ref, hi_ref, qr_ref, qi_ref,
+                 *, n: int, b: int):
+    rows = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
+    ridx = lax.broadcasted_iota(jnp.int32, (b, n, 1), 1)
+
+    hr_ref[:] = ar_in[:]
+    hi_ref[:] = ai_in[:]
+    qr_ref[:] = (rows == cols).astype(jnp.float32)
+    qi_ref[:] = jnp.zeros((b, n, n), jnp.float32)
+
+    dn_vm = (((1,), (1,)), ((0,), (0,)))   # (b,n,1)^T-style: v^H H contract rows
+    dn_mv = (((2,), (1,)), ((0,), (0,)))   # H v contract lanes
+    prec = lax.Precision.HIGHEST
+
+    def step(k, _):
+        Hr = hr_ref[:]
+        Hi = hi_ref[:]
+        # column k below the diagonal, (b,n,1)
+        cmask = (cols == k) & (rows > k)
+        xr = jnp.sum(jnp.where(cmask, Hr, 0.), axis=2, keepdims=True)
+        xi = jnp.sum(jnp.where(cmask, Hi, 0.), axis=2, keepdims=True)
+        # alpha = H[k+1, k]
+        a_r = jnp.sum(jnp.where(ridx == k + 1, xr, 0.), axis=1, keepdims=True)
+        a_i = jnp.sum(jnp.where(ridx == k + 1, xi, 0.), axis=1, keepdims=True)
+        # single-axis reduce: Mosaic has no multi-axis reduction lowering
+        xnorm = jnp.sqrt(jnp.sum(xr * xr + xi * xi, axis=1, keepdims=True))
+        aabs = jnp.sqrt(a_r * a_r + a_i * a_i)
+        safe = jnp.where(aabs > 0, aabs, 1.)
+        phr = jnp.where(aabs > 0, a_r / safe, 1.)
+        phi = jnp.where(aabs > 0, a_i / safe, 0.)
+        sel = (ridx == k + 1).astype(jnp.float32)
+        vr = xr + sel * phr * xnorm
+        vi = xi + sel * phi * xnorm
+        vnorm2 = jnp.sum(vr * vr + vi * vi, axis=1, keepdims=True)
+        beta = jnp.where(vnorm2 > 0, 2. / jnp.where(vnorm2 > 0, vnorm2, 1.),
+                         0.)
+
+        # w = beta v^H H  -> (b,1,n)
+        def vh_m(Mr, Mi):
+            wr = (lax.dot_general(vr, Mr, dn_vm, precision=prec,
+                                  preferred_element_type=jnp.float32)
+                  + lax.dot_general(vi, Mi, dn_vm, precision=prec,
+                                    preferred_element_type=jnp.float32))
+            wi = (lax.dot_general(vr, Mi, dn_vm, precision=prec,
+                                  preferred_element_type=jnp.float32)
+                  - lax.dot_general(vi, Mr, dn_vm, precision=prec,
+                                    preferred_element_type=jnp.float32))
+            return wr, wi    # dot_general output is already (b, 1, n)
+
+        wr_, wi_ = vh_m(Hr, Hi)
+        wr_ = beta * wr_
+        wi_ = beta * wi_
+        # H -= v w
+        Hr = Hr - (vr * wr_ - vi * wi_)
+        Hi = Hi - (vr * wi_ + vi * wr_)
+
+        # u = beta H v -> (b,n,1)
+        def m_v(Mr, Mi):
+            ur = (lax.dot_general(Mr, vr, dn_mv, precision=prec,
+                                  preferred_element_type=jnp.float32)
+                  - lax.dot_general(Mi, vi, dn_mv, precision=prec,
+                                    preferred_element_type=jnp.float32))
+            ui = (lax.dot_general(Mr, vi, dn_mv, precision=prec,
+                                  preferred_element_type=jnp.float32)
+                  + lax.dot_general(Mi, vr, dn_mv, precision=prec,
+                                    preferred_element_type=jnp.float32))
+            return ur, ui
+
+        ur_, ui_ = m_v(Hr, Hi)
+        ur_ = beta * ur_
+        ui_ = beta * ui_
+        # H -= u v^H  (v^H = conj(v) as a row)
+        vTr = jnp.swapaxes(vr, 1, 2)
+        vTi = jnp.swapaxes(vi, 1, 2)
+        hr_ref[:] = Hr - (ur_ * vTr + ui_ * vTi)
+        hi_ref[:] = Hi - (ui_ * vTr - ur_ * vTi)
+
+        # Q -= (beta Q v) v^H
+        Qr = qr_ref[:]
+        Qi = qi_ref[:]
+        uq_r, uq_i = m_v(Qr, Qi)
+        uq_r = beta * uq_r
+        uq_i = beta * uq_i
+        qr_ref[:] = Qr - (uq_r * vTr + uq_i * vTi)
+        qi_ref[:] = Qi - (uq_i * vTr - uq_r * vTi)
+        return 0
+
+    lax.fori_loop(0, n - 2, step, 0)
+
+    below = rows > cols + 1
+    hr_ref[:] = jnp.where(below, 0., hr_ref[:])
+    hi_ref[:] = jnp.where(below, 0., hi_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _call_hess(Ar, Ai, interpret):
+    b, n = Ar.shape[0], Ar.shape[-1]
+    kern = functools.partial(_kernel_hess, n=n, b=b)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), Ar.dtype)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        interpret=interpret,
+    )(Ar, Ai)
+
+
+def hessenberg_pallas(Ar, Ai, interpret=False):
+    """Batched Hessenberg reduction: [B, n, n] pairs -> (Hr, Hi, Qr, Qi)."""
+    b, n = Ar.shape[0], Ar.shape[-1]
+    per = 32 * n * n * np.dtype(Ar.dtype).itemsize
+    chunk = max(1, min(b, _VMEM_BUDGET // per))
+    outs = []
+    for s in range(0, b, chunk):
+        e = min(s + chunk, b)
+        outs.append(_call_hess(Ar[s:e], Ai[s:e], interpret))
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                 for i in range(4))

@@ -372,7 +372,12 @@ def _eig_real_single(Ar, Ai):
     # QR iterations are precision-critical: TPU's default f32 matmul runs
     # in bf16 passes, which stalls deflation and corrupts eigenvectors.
     with jax.default_matmul_precision('highest'):
-        Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
+        if jax.default_backend() == 'cpu':
+            Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
+        else:
+            from .eig_qr_pallas import hessenberg_pallas
+            out = hessenberg_pallas(Ar[None], Ai[None])
+            Hr, Hi, Qr, Qi = (x[0] for x in out)
         if jax.default_backend() == 'cpu':
             # XLA-loop QR: fine on CPU, ~25us/rotation on the TPU runtime
             Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
@@ -394,9 +399,10 @@ def _eig_real_single(Ar, Ai):
 def _eig_real_batched(fr, fi):
     """[B, n, n] pairs -> batched eig via the batched Pallas Schur kernel
     (all matrices of a VMEM-sized chunk iterate inside one kernel)."""
-    from .eig_qr_pallas import schur_qr_pallas_acc, eig_tri_vectors_pallas
+    from .eig_qr_pallas import (schur_qr_pallas_acc, eig_tri_vectors_pallas,
+                                hessenberg_pallas)
     with jax.default_matmul_precision('highest'):
-        Hr, Hi, Qr, Qi = jax.vmap(hessenberg_real)(fr, fi)
+        Hr, Hi, Qr, Qi = hessenberg_pallas(fr, fi)
         Tr, Ti, Zr, Zi = schur_qr_pallas_acc(Hr, Hi, Qr, Qi)
         wr = jnp.diagonal(Tr, axis1=-2, axis2=-1)
         wi = jnp.diagonal(Ti, axis1=-2, axis2=-1)
