@@ -1,0 +1,111 @@
+"""Tests: dispersive materials, optimization helpers, utils."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torcwa_tpu.materials import TabulatedMaterial, aSiH
+from torcwa_tpu.optim import (adam_init, adam_update, gaussian_blur,
+                              tanh_projection)
+from torcwa_tpu.utils import save_state, load_state, save_mat, load_mat
+
+
+def test_tabulated_material_matches_samples():
+    lam = np.linspace(400., 800., 50)
+    n = 3.0 + 0.5 * np.sin(lam / 100.)
+    k = 0.1 * np.exp(-(lam - 500.) ** 2 / 1e4)
+    m = TabulatedMaterial(lam, n, k)
+    # spline interpolates the knots exactly
+    assert np.allclose(np.asarray(m.n(lam)), n, atol=1e-10)
+    assert np.allclose(np.asarray(m.k(lam)), k, atol=1e-10)
+    # midpoints close to dense truth for a smooth function
+    mid = (lam[:-1] + lam[1:]) / 2
+    n_mid = 3.0 + 0.5 * np.sin(mid / 100.)
+    assert np.allclose(np.asarray(m.n(mid)), n_mid, atol=1e-3)
+    # clamps outside
+    assert float(m.n(100.)) == pytest.approx(n[0])
+    assert float(m.n(2000.)) == pytest.approx(n[-1])
+
+
+def test_material_gradient_matches_fd():
+    lam = np.linspace(400., 800., 50)
+    n = 3.0 + 0.5 * np.sin(lam / 100.)
+    m = TabulatedMaterial(lam, n)
+    g = float(jax.grad(lambda l: m.n(l))(600.))
+    fd = (float(m.n(600.01)) - float(m.n(599.99))) / 0.02
+    assert np.isclose(g, fd, rtol=1e-4)
+
+
+def test_asih_against_reference_table():
+    path = '/root/reference/example/Materials_data/aSiH.txt'
+    if not os.path.exists(path):
+        pytest.skip('reference data table not available')
+    m = aSiH(path)
+    data = np.loadtxt(path)
+    i = len(data) // 2
+    lam, n_ref, k_ref = data[i]
+    assert float(m.n(lam)) == pytest.approx(n_ref, abs=1e-9)
+    assert float(m.k(lam)) == pytest.approx(k_ref, abs=1e-9)
+
+
+def test_adam_descends_quadratic():
+    rho = jnp.asarray([0.9, 0.1])
+    target = jnp.asarray([0.3, 0.6])
+    m, v, step = adam_init(rho)
+    loss = lambda r: jnp.sum((r - target) ** 2)
+    for _ in range(200):
+        g = jax.grad(loss)(rho)
+        rho, m, v, step = adam_update(rho, g, m, v, step, lr=0.05)
+    assert float(loss(rho)) < 1e-4
+    assert step == 200
+
+
+def test_adam_clamps():
+    rho = jnp.asarray([0.99])
+    m, v, step = adam_init(rho)
+    rho, m, v, step = adam_update(rho, jnp.asarray([-100.]), m, v, step,
+                                  lr=10.)
+    assert float(rho[0]) <= 1.0
+
+
+def test_gaussian_blur_preserves_mean_and_smooths():
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(size=(64, 32)), jnp.float32)
+    out = gaussian_blur(rho, 3.0)
+    assert np.isclose(float(out.mean()), float(rho.mean()), atol=1e-5)
+    assert float(jnp.var(out)) < float(jnp.var(rho))
+
+
+def test_tanh_projection_limits():
+    rho = jnp.linspace(0., 1., 11)
+    soft = tanh_projection(rho, beta=1e-3)
+    hard = tanh_projection(rho, beta=100.)
+    assert np.allclose(np.asarray(soft), np.asarray(rho), atol=1e-3)
+    assert float(hard[2]) < 0.01 and float(hard[8]) > 0.99
+    assert float(tanh_projection(jnp.asarray(0.), 5.)) == pytest.approx(0.)
+    assert float(tanh_projection(jnp.asarray(1.), 5.)) == pytest.approx(1.)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {'rho': jnp.arange(6.).reshape(2, 3),
+             'moments': (jnp.ones(3), jnp.zeros(3)),
+             'history': [jnp.asarray(1.), jnp.asarray(2.)],
+             'step': jnp.asarray(7)}
+    p = tmp_path / 'state.npz'
+    save_state(p, state)
+    back = load_state(p)
+    assert np.allclose(np.asarray(back['rho']), np.asarray(state['rho']))
+    assert isinstance(back['moments'], tuple)
+    assert isinstance(back['history'], list)
+    assert int(back['step']) == 7
+
+
+def test_mat_roundtrip(tmp_path):
+    pytest.importorskip('scipy')
+    p = str(tmp_path / 'out.mat')
+    save_mat(p, {'t': jnp.asarray([1. + 2j, 3. - 1j])})
+    back = load_mat(p)
+    assert np.allclose(back['t'].ravel(), [1. + 2j, 3. - 1j])

@@ -45,15 +45,18 @@ _SMLNUM = 1e-31
 
 # VMEM budget for the four resident (B, n, n) arrays, leaving headroom
 # for temporaries of the masked updates.
-_VMEM_BUDGET = 14 * 2 ** 20
+_VMEM_BUDGET = 96 * 2 ** 20
 
 
 def _kernel(hr_in, hi_in, ztr_in, zti_in,
             hr_ref, hi_ref, ztr_ref, zti_ref, *, max_iters: int, n: int,
             b: int):
-    # input refs alias the output refs (input_output_aliases); all work
-    # happens on the out refs, which already hold the input values
-    del hr_in, hi_in, ztr_in, zti_in
+    # explicit copy-in (input_output_aliases miscompiles when several
+    # aliased pallas calls share one jit program on this runtime)
+    hr_ref[:] = hr_in[:]
+    hi_ref[:] = hi_in[:]
+    ztr_ref[:] = ztr_in[:]
+    zti_ref[:] = zti_in[:]
     rows = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
     cols = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     iota_n = lax.broadcasted_iota(jnp.int32, (b, 1, n), 2)
@@ -247,7 +250,6 @@ def _call(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
         out_shape=[jax.ShapeDtypeStruct((b, n, n), Hr.dtype)] * 4,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         interpret=interpret,
     )(Hr, Hi, ZTr, ZTi)
 
@@ -313,7 +315,12 @@ def schur_qr_pallas(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
 def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                 hr_ref, hi_ref, ztr_ref, zti_ref, wr_ref, wi_ref,
                 *, max_iters: int, n: int, b: int):
-    del hr_in, hi_in, ztr_in, zti_in
+    # explicit copy-in: input_output_aliases miscompiles when several
+    # aliased pallas calls (batch chunks) share one jit program here
+    hr_ref[:] = hr_in[:]
+    hi_ref[:] = hi_in[:]
+    ztr_ref[:] = ztr_in[:]
+    zti_ref[:] = zti_in[:]
     rows = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
     cols = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     iota_n = lax.broadcasted_iota(jnp.int32, (b, 1, n), 2)
@@ -517,7 +524,8 @@ def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
         out_shape=[jax.ShapeDtypeStruct((b, n, n), Hr.dtype)] * 6,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(Hr, Hi, ZTr, ZTi)
     return out[:4]
@@ -530,9 +538,9 @@ def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
     lives in VMEM (6 resident arrays per chunk).
     """
     b, n = Hr.shape[0], Hr.shape[-1]
-    # measured VMEM footprint: ~32 (n,n)-array equivalents per batch lane
-    # (6 resident refs + matmul/masking temporaries of the sweep epilogue)
-    per = 32 * n * n * np.dtype(Hr.dtype).itemsize
+    # measured VMEM footprint: ~40 (n,n)-array equivalents per batch lane
+    # (6 resident refs + 4 input copies + matmul/masking temporaries)
+    per = 48 * n * n * np.dtype(Hr.dtype).itemsize
     chunk = max(1, min(b, _VMEM_BUDGET // per))
     ZTr = jnp.swapaxes(Qr, -2, -1)
     ZTi = jnp.swapaxes(Qi, -2, -1)
@@ -653,6 +661,8 @@ def _call_vec(Tr, Ti, Zr, Zi, interpret):
         out_shape=[jax.ShapeDtypeStruct((b, n, n), Tr.dtype)] * 4,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(Tr, Ti, Zr, Zi)
     return out[:2]
@@ -661,7 +671,7 @@ def _call_vec(Tr, Ti, Zr, Zi, interpret):
 def eig_tri_vectors_pallas(Tr, Ti, Zr, Zi, interpret=False):
     """Batched eigenvectors from Schur factors: [B, n, n] -> (Vr, Vi)."""
     b, n = Tr.shape[0], Tr.shape[-1]
-    per = 32 * n * n * np.dtype(Tr.dtype).itemsize
+    per = 48 * n * n * np.dtype(Tr.dtype).itemsize
     chunk = max(1, min(b, _VMEM_BUDGET // per))
     outs = []
     for s in range(0, b, chunk):
@@ -787,6 +797,8 @@ def _call_hess(Ar, Ai, interpret):
         out_shape=[jax.ShapeDtypeStruct((b, n, n), Ar.dtype)] * 4,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(Ar, Ai)
 
@@ -794,7 +806,7 @@ def _call_hess(Ar, Ai, interpret):
 def hessenberg_pallas(Ar, Ai, interpret=False):
     """Batched Hessenberg reduction: [B, n, n] pairs -> (Hr, Hi, Qr, Qi)."""
     b, n = Ar.shape[0], Ar.shape[-1]
-    per = 32 * n * n * np.dtype(Ar.dtype).itemsize
+    per = 48 * n * n * np.dtype(Ar.dtype).itemsize
     chunk = max(1, min(b, _VMEM_BUDGET // per))
     outs = []
     for s in range(0, b, chunk):

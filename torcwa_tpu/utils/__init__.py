@@ -1,0 +1,12 @@
+"""Auxiliary subsystems: profiling, checkpointing, data export.
+
+The reference has none of these (SURVEY.md §5): notebooks time with
+wall-clock prints, persist results with scipy.io.savemat, and keep
+optimization history in RAM with no resume capability.
+"""
+
+from .timing import StageTimer
+from .checkpoint import save_state, load_state
+from .export import save_mat, load_mat
+
+__all__ = ['StageTimer', 'save_state', 'load_state', 'save_mat', 'load_mat']
