@@ -21,8 +21,8 @@ import time
 
 import numpy as np
 
-ORDER = int(os.environ.get('BENCH_ORDER', '4'))
-N_LAM = int(os.environ.get('BENCH_NLAM', '16'))
+ORDER = int(os.environ.get('BENCH_ORDER', '6'))
+N_LAM = int(os.environ.get('BENCH_NLAM', '8'))
 GRID = int(os.environ.get('BENCH_GRID', '256'))
 L = (300., 300.)
 W = 160.
@@ -67,13 +67,16 @@ def measure_ours():
         return jnp.mean(jax.vmap(lambda f: point_T(f, er))(freqs))
 
     vg = jax.jit(jax.value_and_grad(loss))
-    val, grad = vg(eps)            # compile + first run
-    val.block_until_ready()
+    # warm up on perturbed inputs; identical inputs hit a result cache on
+    # the tunnel runtime, and block_until_ready does not reliably block —
+    # materialize a checksum as the barrier
+    val, grad = vg(eps * 1.001)
+    float(jnp.sum(grad))
     t0 = time.time()
     val, grad = vg(eps)
-    grad.block_until_ready()
+    checksum = float(jnp.sum(grad))
     dt = time.time() - t0
-    assert np.isfinite(float(val)) and np.isfinite(float(jnp.sum(grad)))
+    assert np.isfinite(float(val)) and np.isfinite(checksum)
     return dt / N_LAM
 
 

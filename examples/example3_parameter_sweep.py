@@ -52,8 +52,8 @@ if __name__ == '__main__':
     Wx, Wy = np.meshgrid(w, w, indexing='ij')
     pts = jnp.asarray(np.stack([Wx.ravel(), Wy.ravel()], 1))
     sweep = jax.jit(lambda p: jax.vmap(lambda q: t00_of_wxwy(q[0], q[1]))(p))
-    tr, ti = sweep(pts)
-    tr.block_until_ready()
+    tr, ti = sweep(pts + 0.01)     # warm up on perturbed inputs
+    np.asarray(tr)
     t0 = time.time()
     tr, ti = sweep(pts)
     # complex values stay split-real on device; fuse on host
