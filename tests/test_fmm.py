@@ -122,3 +122,49 @@ def test_multilayer_stack():
                          ref_order=[0, 0])
     T_cl = float(jnp.abs(t[0]) ** 2)
     assert np.isclose(T_fn, T_cl, rtol=1e-6), (T_fn, T_cl)
+
+
+def test_sparam_ps_matches_class_api():
+    """fmm.sparam_ps_pair agrees with the class API's ps branch for all
+    four polarizations and both ports (oblique incidence, real claddings)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torcwa_tpu as tt
+    from torcwa_tpu import fmm
+
+    L = (400., 400.)
+    order = (2, 2)
+    rdtype = jnp.float64
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=64, ny=64, edge_sharpness=500.,
+                    dtype=rdtype)
+    geom = g.circle(120., L[0] / 2., L[1] / 2.)
+    eps = jnp.asarray(geom * 4.2 + (1. - geom), rdtype)
+
+    sim = tt.rcwa(freq=1 / 600., order=list(order), L=list(L),
+                  dtype=jnp.complex128)
+    sim.add_input_layer(eps=1.46 ** 2)
+    sim.add_output_layer(eps=2.25)
+    sim.set_incident_angle(inc_ang=0.3, azi_ang=0.4)
+    sim.add_layer(thickness=300., eps=eps)
+    sim.solve_global_smatrix()
+
+    spec = fmm.StackSpec(order=order, L=L, n_layers=1, has_input=True,
+                         has_output=True)
+    eps_in = (jnp.asarray(1.46 ** 2, rdtype), jnp.asarray(0., rdtype))
+    eps_out = (jnp.asarray(2.25, rdtype), jnp.asarray(0., rdtype))
+    S, intr = fmm.solve_stack_pair(
+        spec, jnp.asarray(1 / 600., rdtype), jnp.asarray(0.3, rdtype),
+        jnp.asarray(0.4, rdtype), (eps[None], jnp.zeros_like(eps)[None]),
+        jnp.asarray([300.], rdtype), eps_in=eps_in, eps_out=eps_out)
+
+    for pol in ['pp', 'ps', 'sp', 'ss']:
+        for port in ['transmission', 'reflection']:
+            ref = np.asarray(sim.S_parameters(
+                orders=[[0, 0], [1, 0]], direction='forward', port=port,
+                polarization=pol, ref_order=[0, 0]))
+            pr, pi = fmm.sparam_ps_pair(
+                S, intr['kx'], intr['ky'], eps_in, eps_out, order,
+                [[0, 0], [1, 0]], [0, 0], pol, 'forward', port)
+            got = np.asarray(pr) + 1j * np.asarray(pi)
+            assert np.allclose(got, ref, rtol=2e-4, atol=1e-7), (
+                pol, port, got, ref)

@@ -37,7 +37,8 @@ from .ops import cplx
 from .ops.eig import eig_pair
 from .ops.fourier import order_vectors
 
-__all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair', 'simulate_txx']
+__all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair',
+           'sparam_ps_pair', 'simulate_txx']
 
 
 class StackSpec(NamedTuple):
@@ -451,3 +452,93 @@ def simulate_txx(spec: StackSpec, freq, eps_grid_re, eps_grid_im,
     tr, ti = sparam_xy_pair(S, internals['kx'], internals['ky'], eps_in, one,
                             spec.order, [0, 0], [0, 0], 'xx')
     return (tr ** 2 + ti ** 2)[0]
+
+
+def sparam_ps_pair(S, kx, ky, eps_in, eps_out, order, orders, ref_order,
+                   polarization='pp', direction='forward',
+                   port='transmission', evanescent=1e-3):
+    """ps-polarization S-parameter extraction, split-real
+    (rcwa.py:410-521): gather xx/xy/yx/yy, recombine with per-order
+    inclination/azimuth cosines, power-normalize.
+
+    eps_in / eps_out: cladding permittivity pairs (re, im).
+    Returns (re, im) of the ps-basis amplitude at the selected orders.
+    """
+    N = (2 * order[0] + 1) * (2 * order[1] + 1)
+    oi = _match(orders, order)
+    ri = _match(np.asarray(ref_order).reshape(1, 2), order)
+
+    cfg = {('forward', 'transmission'): (0, 1., 1., 'out', 'in'),
+           ('forward', 'reflection'): (1, -1., 1., 'in', 'in'),
+           ('backward', 'reflection'): (2, 1., -1., 'out', 'out'),
+           ('backward', 'transmission'): (3, -1., -1., 'in', 'out')}
+    idx, o_sign, r_sign, o_side, r_side = cfg[(direction, port)]
+    eps_side = {'in': eps_in, 'out': eps_out}
+
+    def kz_angles(sel, k2_pair, sign):
+        kxs, kys = kx[sel], ky[sel]
+        kt = jnp.sqrt(kxs ** 2 + kys ** 2)
+        kzc = cplx.csqrt((k2_pair[0] - kxs ** 2 - kys ** 2,
+                          k2_pair[1] + jnp.zeros_like(kxs)))
+        kz = sign * jnp.abs(kzc[0])
+        evan = jnp.abs(kzc[0] / kzc[1]) < evanescent
+        inc = jnp.arctan2(kt, kz)
+        azi = jnp.arctan2(kys, kxs)
+        return inc, azi, evan
+
+    o_inc, o_azi, o_evan = kz_angles(oi, eps_side[o_side], o_sign)
+    r_inc, r_azi, r_evan = kz_angles(ri, eps_side[r_side], r_sign)
+
+    def gather(block, a, b):
+        return block[0][a, b], block[1][a, b]
+
+    xx = gather(S[idx], oi, ri)
+    xy = gather(S[idx], oi, ri + N)
+    yx = gather(S[idx], oi + N, ri)
+    yy = gather(S[idx], oi + N, ri + N)
+    zero = lambda p: (jnp.where(o_evan, 0., p[0]), jnp.where(o_evan, 0., p[1]))
+    xx, xy, yx, yy = map(zero, (xx, xy, yx, yy))
+
+    co, so = jnp.cos(o_azi), jnp.sin(o_azi)
+    ci = jnp.cos(o_inc)
+    cr, sr = jnp.cos(r_azi), jnp.sin(r_azi)
+    cri = jnp.cos(r_inc)
+    # real coefficient recombination (angles are real; rcwa.py:466-485)
+    coeff = {
+        'pp': (co / ci * cri * cr, so / ci * cri * cr,
+               co / ci * cri * sr, so / ci * cri * sr),
+        'ps': (co / ci * (-sr), so / ci * (-sr),
+               co / ci * cr, so / ci * cr),
+        'sp': (-so * cri * cr, co * cri * cr,
+               -so * cri * sr, co * cri * sr),
+        'ss': (-so * (-sr), co * (-sr), -so * cr, co * cr),
+    }[polarization]
+    Sr = (coeff[0] * xx[0] + coeff[1] * yx[0]
+          + coeff[2] * xy[0] + coeff[3] * yy[0])
+    Si = (coeff[0] * xx[1] + coeff[1] * yx[1]
+          + coeff[2] * xy[1] + coeff[3] * yy[1])
+
+    def kz_real(eps, keep_abs_for_evan):
+        kzc = cplx.csqrt((eps[0] - kx ** 2 - ky ** 2,
+                          eps[1] + jnp.zeros_like(kx)))
+        ev = jnp.abs(kzc[0] / kzc[1]) < evanescent
+        if keep_abs_for_evan:
+            # the reference's ps branch keeps |Re kz| for evanescent
+            # OUTPUT orders instead of zeroing (rcwa.py:495)
+            v = jnp.where(ev, jnp.abs(kzc[0]), kzc[0])
+        else:
+            v = jnp.where(ev, 0., kzc[0])
+        return v
+
+    kz_in = kz_real(eps_in, False)
+    kz_out = kz_real(eps_out, True)
+    sel = {('forward', 'transmission'): (kz_out, kz_in),
+           ('forward', 'reflection'): (kz_in, kz_in),
+           ('backward', 'reflection'): (kz_out, kz_out),
+           ('backward', 'transmission'): (kz_in, kz_out)}
+    num_kz, den_kz = sel[(direction, port)]
+    norm = jnp.sqrt(num_kz[oi] / den_kz[ri])
+    Sr = Sr * norm
+    Si = Si * norm
+    bad = ~jnp.isfinite(Sr) | ~jnp.isfinite(Si) | r_evan
+    return jnp.where(bad, 0., Sr), jnp.where(bad, 0., Si)
