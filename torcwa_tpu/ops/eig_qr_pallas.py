@@ -466,40 +466,59 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
             yi = jnp.where(active, yn_i, yi)
             return (xr, xi, yr, yi)
 
-        lax.fori_loop(0, n - 1, step, (x0r, x0i, y0r, y0i))
+        # the step loop only needs [min lo, max hi) across lanes (QR
+        # deflates from the bottom, so late sweeps have tiny windows);
+        # traced bounds lower to a while loop, which Mosaic supports
+        lo_min = jnp.min(lo)
+        hi_max = jnp.max(hi)
+        lax.fori_loop(lo_min, jnp.minimum(hi_max, n - 1), step,
+                      (x0r, x0i, y0r, y0i))
 
         # ---- apply deferred columns: H <- H @ W^T, Z^T <- W @ Z^T ---------
-        Hr = hr_ref[:]
-        Hi = hi_ref[:]
-        Wr = wr_ref[:]
-        Wi = wi_ref[:]
+        # W differs from the identity only inside [lo, hi+1], and lo_min is
+        # usually 0 — so the update touches only the column/row PREFIX
+        # [0, hi_max+2).  Lane-dim slicing must be static here, so pick a
+        # static prefix bucket with lax.switch.
         dn_t = (((2,), (2,)), ((0,), (0,)))     # contract last dims
         dn_m = (((2,), (1,)), ((0,), (0,)))     # W @ Z^T
         prec = lax.Precision.HIGHEST
-        Hr2 = (lax.dot_general(Hr, Wr, dn_t, precision=prec,
-                               preferred_element_type=jnp.float32)
-               - lax.dot_general(Hi, Wi, dn_t, precision=prec,
-                                 preferred_element_type=jnp.float32))
-        Hi2 = (lax.dot_general(Hr, Wi, dn_t, precision=prec,
-                               preferred_element_type=jnp.float32)
-               + lax.dot_general(Hi, Wr, dn_t, precision=prec,
-                                 preferred_element_type=jnp.float32))
-        # structural Hessenberg enforcement (junk below the subdiagonal is
-        # the deferred representation's roundoff)
-        hr_ref[:] = jnp.where(hess_mask, Hr2, 0.)
-        hi_ref[:] = jnp.where(hess_mask, Hi2, 0.)
-        Zr = ztr_ref[:]
-        Zi = zti_ref[:]
-        Zr2 = (lax.dot_general(Wr, Zr, dn_m, precision=prec,
-                               preferred_element_type=jnp.float32)
-               - lax.dot_general(Wi, Zi, dn_m, precision=prec,
-                                 preferred_element_type=jnp.float32))
-        Zi2 = (lax.dot_general(Wr, Zi, dn_m, precision=prec,
-                               preferred_element_type=jnp.float32)
-               + lax.dot_general(Wi, Zr, dn_m, precision=prec,
-                                 preferred_element_type=jnp.float32))
-        ztr_ref[:] = Zr2
-        zti_ref[:] = Zi2
+
+        def apply_slab(width):
+            def f():
+                Hr = hr_ref[:, :, :width]
+                Hi = hi_ref[:, :, :width]
+                Wr = wr_ref[:, :width, :width]
+                Wi = wi_ref[:, :width, :width]
+                Hr2 = (lax.dot_general(Hr, Wr, dn_t, precision=prec,
+                                       preferred_element_type=jnp.float32)
+                       - lax.dot_general(Hi, Wi, dn_t, precision=prec,
+                                         preferred_element_type=jnp.float32))
+                Hi2 = (lax.dot_general(Hr, Wi, dn_t, precision=prec,
+                                       preferred_element_type=jnp.float32)
+                       + lax.dot_general(Hi, Wr, dn_t, precision=prec,
+                                         preferred_element_type=jnp.float32))
+                # structural Hessenberg enforcement (junk below the
+                # subdiagonal is the deferred representation's roundoff)
+                hm = hess_mask[:, :, :width]
+                hr_ref[:, :, :width] = jnp.where(hm, Hr2, 0.)
+                hi_ref[:, :, :width] = jnp.where(hm, Hi2, 0.)
+                Zr = ztr_ref[:, :width, :]
+                Zi = zti_ref[:, :width, :]
+                Zr2 = (lax.dot_general(Wr, Zr, dn_m, precision=prec,
+                                       preferred_element_type=jnp.float32)
+                       - lax.dot_general(Wi, Zi, dn_m, precision=prec,
+                                         preferred_element_type=jnp.float32))
+                Zi2 = (lax.dot_general(Wr, Zi, dn_m, precision=prec,
+                                       preferred_element_type=jnp.float32)
+                       + lax.dot_general(Wi, Zr, dn_m, precision=prec,
+                                         preferred_element_type=jnp.float32))
+                ztr_ref[:, :width, :] = Zr2
+                zti_ref[:, :width, :] = Zi2
+            return f
+
+        widths = [min(128 * (i + 1), n) for i in range((n + 127) // 128)]
+        branch = jnp.minimum((hi_max + 2) // 128, len(widths) - 1)
+        lax.switch(branch, [apply_slab(w) for w in widths])
         return (hi, it + 1)
 
     def cond(state):
