@@ -382,13 +382,14 @@ def _eig_real_single(Ar, Ai):
             # XLA-loop QR: fine on CPU, ~25us/rotation on the TPU runtime
             Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
         else:
-            # single-kernel QR with H/Z resident in VMEM (13.7x on v5e)
-            from .eig_qr_pallas import (schur_qr_pallas,
+            # single matrix = batch of 1 through the batched kernels
+            from .eig_qr_pallas import (schur_qr_pallas_acc,
                                         eig_tri_vectors_pallas)
-            Tr, Ti, Zr, Zi = schur_qr_pallas(Hr, Hi, Qr, Qi)
-            wr, wi = jnp.diagonal(Tr), jnp.diagonal(Ti)
-            Vr, Vi = eig_tri_vectors_pallas(Tr[None], Ti[None],
-                                            Zr[None], Zi[None])
+            Tr, Ti, Zr, Zi = schur_qr_pallas_acc(Hr[None], Hi[None],
+                                                 Qr[None], Qi[None])
+            wr = jnp.diagonal(Tr[0])
+            wi = jnp.diagonal(Ti[0])
+            Vr, Vi = eig_tri_vectors_pallas(Tr, Ti, Zr, Zi)
             return wr, wi, Vr[0], Vi[0]
         wr, wi = jnp.diagonal(Tr), jnp.diagonal(Ti)
         Vr, Vi = eig_tri_vectors_real(Tr, Ti, Zr, Zi)
