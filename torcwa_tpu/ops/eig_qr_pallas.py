@@ -481,6 +481,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         # static prefix bucket with lax.switch.
         dn_t = (((2,), (2,)), ((0,), (0,)))     # contract last dims
         dn_m = (((2,), (1,)), ((0,), (0,)))     # W @ Z^T
+        # NB: Mosaic only lowers DEFAULT and HIGHEST dot precisions
         prec = lax.Precision.HIGHEST
 
         def apply_slab(width):
