@@ -86,10 +86,12 @@ def test_rcwa_pq_matrix():
     sim.add_input_layer(eps=1.46 ** 2)
     sim.set_incident_angle(inc_ang=0.1, azi_ang=0.2)
     from torcwa_tpu.ops.fourier import material_conv
+    from torcwa_tpu.ops import cplx
     eps_c = material_conv(eps, (3, 3), jnp.complex64)
     mu_c = jnp.eye(49, dtype=jnp.complex64)
-    P, Q = core.pq_matrices(eps_c, mu_c, sim.Kx_norm_dn, sim.Ky_norm_dn)
-    A = P @ Q
+    P, Q = core.pq_matrices(cplx.split(eps_c), cplx.split(mu_c),
+                            sim.Kx_norm_dn, sim.Ky_norm_dn)
+    A = cplx.fuse(P) @ cplx.fuse(Q)
     w, V = eig_qr.eig_qr(A)
     _check_eig(A, w, V, 2e-4)
 

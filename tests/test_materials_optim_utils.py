@@ -103,6 +103,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(back['step']) == 7
 
 
+def test_checkpoint_empty_containers(tmp_path):
+    """Empty dicts/lists inside sequences must not shift or drop the
+    elements that follow them (regression: [{}, x] used to load as [{}])."""
+    state = {'mix': [{}, jnp.asarray(3.), [], (jnp.asarray(4.),)],
+             'empty_d': {}, 'empty_l': [], 'empty_t': ()}
+    p = tmp_path / 'state.npz'
+    save_state(p, state)
+    back = load_state(p)
+    assert back['mix'][0] == {}
+    assert float(back['mix'][1]) == 3.
+    assert back['mix'][2] == []
+    assert float(back['mix'][3][0]) == 4.
+    assert back['empty_d'] == {} and back['empty_l'] == []
+    assert back['empty_t'] == ()
+
+
+def test_checkpoint_rejects_separator_keys(tmp_path):
+    with pytest.raises(ValueError):
+        save_state(tmp_path / 's.npz', {'a/b': jnp.asarray(1.)})
+
+
 def test_mat_roundtrip(tmp_path):
     pytest.importorskip('scipy')
     p = str(tmp_path / 'out.mat')

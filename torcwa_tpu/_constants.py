@@ -52,5 +52,9 @@ def validate_sim_dtype(dtype):
 
 
 def real_dtype_of(cdtype):
-    """float32 for complex64, float64 for complex128."""
-    return jnp.zeros((), cdtype).real.dtype
+    """float32 for complex64, float64 for complex128.
+
+    Pure dtype math (numpy) — must not create a complex device array,
+    which the TPU runtime here cannot hold."""
+    import numpy as np
+    return jnp.dtype(np.finfo(np.dtype(cdtype)).dtype)

@@ -1,4 +1,4 @@
-"""Field reconstruction on xz / yz / xy planes.
+"""Field reconstruction on xz / yz / xy planes, split-real.
 
 Unifies the reference's three ~180-line near-clone methods
 (/root/reference/torcwa/rcwa.py:598-775, 777-957, 959-1112) into one
@@ -15,6 +15,10 @@ layer-segment engine:
   [npts, N] @ [N, nz] — same explicit (non-FFT) synthesis semantics as
   the reference (rcwa.py:699-705), which supports arbitrary sample axes.
 
+All complex quantities are (re, im) cpairs (see ops/cplx.py), so the whole
+reconstruction lowers on the TPU runtime.  Outputs go through the solver's
+output convention (complex on CPU, pairs on TPU).
+
 Field reconstruction takes concrete (non-traced) z/x/y axes — it is a
 post-processing step, not part of the differentiable solve path.
 """
@@ -22,10 +26,18 @@ post-processing step, not part of the differentiable solve path.
 import numpy as np
 import jax.numpy as jnp
 
-from . import core
-from .core import bd_apply, bd_dense
+from .core import bdp_apply, bdp_dense
+from .ops import cplx
+from .ops.cplx import cadd, csub, cneg, cmul, cdiv_raw, cmm, csqrt, scale_cols
 
 __all__ = ['field_plane', 'field_xy']
+
+
+def _zphase(kz, omega, z):
+    """exp(1j * omega * kz * z) as a cpair [len(kz), len(z)]."""
+    th_r = omega * kz[0][:, None] * z[None, :]
+    th_i = omega * kz[1][:, None] * z[None, :]
+    return cplx.cexp_i((th_r, th_i))
 
 
 def _region_fourier_fields(sim, region, z_prop):
@@ -40,87 +52,100 @@ def _region_fourier_fields(sim, region, z_prop):
         reference does).
 
     Returns:
-      [6, N, nz] complex: (Ex, Ey, Ez, Hx, Hy, Hz) Fourier coefficients.
+      cpair of [6, N, nz]: (Ex, Ey, Ez, Hx, Hy, Hz) Fourier coefficients.
     """
     N = sim.order_N
-    dtype = sim._dtype
     omega = sim.omega
     Kx, Ky = sim.Kx_norm_dn, sim.Ky_norm_dn
     z_prop = jnp.asarray(z_prop, sim._rdtype)
-    E_i = sim.E_i  # [2N, 1]
+    nz = z_prop.shape[0]
+    E_i = sim.E_i_pair  # cpair [2N, 1]
+
+    Kxc = (Kx[0][:, None], Kx[1][:, None])
+    Kyc = (Ky[0][:, None], Ky[1][:, None])
 
     if region == -1 or region == sim.layer_N:
+        k2 = lambda e, m: csub(cmul(e, m),
+                               cadd(cmul(Kx, Kx), cmul(Ky, Ky)))
         if region == -1:
             eps, mu = sim.eps_in, sim.mu_in
             V = sim.Vi if sim._has_input_layer else sim.Vf
-            kz = jnp.sqrt(eps * mu - Kx ** 2 - Ky ** 2)
+            kz = csqrt(k2(eps, mu))
             # input cladding keeps the Im(kz) <= 0 branch (rcwa.py:650)
-            kz = jnp.where(jnp.imag(kz) > 0, jnp.conj(kz), kz)
+            kz = (kz[0], -jnp.abs(kz[1]))
         else:
             eps, mu = sim.eps_out, sim.mu_out
             V = sim.Vo if sim._has_output_layer else sim.Vf
-            kz = jnp.sqrt(eps * mu - Kx ** 2 - Ky ** 2)
-            kz = jnp.where(jnp.imag(kz) < 0, jnp.conj(kz), kz)
+            kz = csqrt(k2(eps, mu))
+            kz = (kz[0], jnp.abs(kz[1]))
 
-        kz2 = jnp.concatenate([kz, kz])  # (2N,)
-        z_phase = jnp.exp(1j * omega * kz2[:, None] * z_prop[None, :])  # [2N, nz]
+        kz2 = (jnp.concatenate([kz[0], kz[0]]),
+               jnp.concatenate([kz[1], kz[1]]))
+        z_phase = _zphase(kz2, omega, z_prop)          # [2N, nz]
+        z_conj = (z_phase[0], -z_phase[1])
 
+        zero = cplx.czeros((2 * N, nz), sim._rdtype)
         fwd = sim.source_direction == 'forward'
         if region == -1 and fwd:
-            Exy_p = E_i * z_phase
-            Exy_m = (sim.S[1] @ E_i) * jnp.conj(z_phase)
-            Hxy_p = bd_apply(V, Exy_p)
-            Hxy_m = -bd_apply(V, Exy_m)
+            Exy_p = cmul(E_i, z_phase)
+            Exy_m = cmul(cmm(sim.S[1], E_i), z_conj)
+            Hxy_p = bdp_apply(V, Exy_p)
+            Hxy_m = cneg(bdp_apply(V, Exy_m))
         elif region == -1:
-            Exy_p = jnp.zeros((2 * N, z_prop.shape[0]), dtype)
-            Hxy_p = jnp.zeros_like(Exy_p)
-            Exy_m = (sim.S[3] @ E_i) * jnp.conj(z_phase)
-            Hxy_m = -bd_apply(V, Exy_m)
+            Exy_p = zero
+            Hxy_p = zero
+            Exy_m = cmul(cmm(sim.S[3], E_i), z_conj)
+            Hxy_m = cneg(bdp_apply(V, Exy_m))
         elif fwd:
-            Exy_p = (sim.S[0] @ E_i) * z_phase
-            Hxy_p = bd_apply(V, Exy_p)
-            Exy_m = jnp.zeros((2 * N, z_prop.shape[0]), dtype)
-            Hxy_m = jnp.zeros_like(Exy_m)
+            Exy_p = cmul(cmm(sim.S[0], E_i), z_phase)
+            Hxy_p = bdp_apply(V, Exy_p)
+            Exy_m = zero
+            Hxy_m = zero
         else:
-            Exy_p = (sim.S[2] @ E_i) * z_phase
-            Hxy_p = bd_apply(V, Exy_p)
-            Exy_m = E_i * jnp.conj(z_phase)
-            Hxy_m = -bd_apply(V, Exy_m)
+            Exy_p = cmul(cmm(sim.S[2], E_i), z_phase)
+            Hxy_p = bdp_apply(V, Exy_p)
+            Exy_m = cmul(E_i, z_conj)
+            Hxy_m = cneg(bdp_apply(V, Exy_m))
 
-        Ex = Exy_p[:N] + Exy_m[:N]
-        Ey = Exy_p[N:] + Exy_m[N:]
-        Hx = Hxy_p[:N] + Hxy_m[:N]
-        Hy = Hxy_p[N:] + Hxy_m[N:]
-        Hz = (Kx[:, None] * Ey - Ky[:, None] * Ex) / mu
-        Ez = (Ky[:, None] * Hx - Kx[:, None] * Hy) / eps
-        return jnp.stack([Ex, Ey, Ez, Hx, Hy, Hz])
+        take = lambda p, sl: (p[0][sl], p[1][sl])
+        Ex = cadd(take(Exy_p, slice(None, N)), take(Exy_m, slice(None, N)))
+        Ey = cadd(take(Exy_p, slice(N, None)), take(Exy_m, slice(N, None)))
+        Hx = cadd(take(Hxy_p, slice(None, N)), take(Hxy_m, slice(None, N)))
+        Hy = cadd(take(Hxy_p, slice(N, None)), take(Hxy_m, slice(N, None)))
+        Hz = cdiv_raw(csub(cmul(Kxc, Ey), cmul(Kyc, Ex)), mu)
+        Ez = cdiv_raw(csub(cmul(Kyc, Hx), cmul(Kxc, Hy)), eps)
+        return (jnp.stack([Ex[0], Ey[0], Ez[0], Hx[0], Hy[0], Hz[0]]),
+                jnp.stack([Ex[1], Ey[1], Ez[1], Hx[1], Hy[1], Hz[1]]))
 
     # --- internal layer ---------------------------------------------------
     lay = sim.layers[region]
     thick = sim.thickness[region]
     cf, cb = sim.C[region]
     Csel = cf if sim.source_direction == 'forward' else cb
-    c = (Csel @ E_i)[:, 0]  # (4N,)
-    cp, cm = c[:2 * N], c[2 * N:]
+    c = cmm(Csel, E_i)                          # [4N, 1]
+    cp = (c[0][:2 * N, 0], c[1][:2 * N, 0])
+    cm = (c[0][2 * N:, 0], c[1][2 * N:, 0])
 
-    E = bd_dense(lay.E_eigvec) if sim._layer_is_bd[region] else lay.E_eigvec
-    H = bd_dense(lay.H_eigvec) if sim._layer_is_bd[region] else lay.H_eigvec
+    E = bdp_dense(lay.E_eigvec) if sim._layer_is_bd[region] else lay.E_eigvec
+    H = bdp_dense(lay.H_eigvec) if sim._layer_is_bd[region] else lay.H_eigvec
     kz = lay.kz
 
-    pp = jnp.exp(1j * omega * kz[:, None] * z_prop[None, :])             # [2N, nz]
-    pm = jnp.exp(1j * omega * kz[:, None] * (thick - z_prop)[None, :])
+    pp = _zphase(kz, omega, z_prop)                           # [2N, nz]
+    pm = _zphase(kz, omega, jnp.asarray(thick, sim._rdtype) - z_prop)
 
-    Exy = (E * cp[None, :]) @ pp + (E * cm[None, :]) @ pm
-    Hxy = (H * cp[None, :]) @ pp - (H * cm[None, :]) @ pm
+    Exy = cadd(cmm(scale_cols(E, cp), pp), cmm(scale_cols(E, cm), pm))
+    Hxy = csub(cmm(scale_cols(H, cp), pp), cmm(scale_cols(H, cm), pm))
 
-    einv = jnp.linalg.inv(sim.eps_conv[region])
-    minv = jnp.linalg.inv(sim.mu_conv[region])
+    einv = cplx.cinv(sim.eps_conv[region])
+    minv = cplx.cinv(sim.mu_conv[region])
 
-    Ex, Ey = Exy[:N], Exy[N:]
-    Hx, Hy = Hxy[:N], Hxy[N:]
-    Hz = minv @ (Kx[:, None] * Ey - Ky[:, None] * Ex)
-    Ez = einv @ (Ky[:, None] * Hx - Kx[:, None] * Hy)
-    return jnp.stack([Ex, Ey, Ez, Hx, Hy, Hz])
+    take = lambda p, sl: (p[0][sl], p[1][sl])
+    Ex, Ey = take(Exy, slice(None, N)), take(Exy, slice(N, None))
+    Hx, Hy = take(Hxy, slice(None, N)), take(Hxy, slice(N, None))
+    Hz = cmm(minv, csub(cmul(Kxc, Ey), cmul(Kyc, Ex)))
+    Ez = cmm(einv, csub(cmul(Kyc, Hx), cmul(Kxc, Hy)))
+    return (jnp.stack([Ex[0], Ey[0], Ez[0], Hx[0], Hy[0], Hz[0]]),
+            jnp.stack([Ex[1], Ey[1], Ez[1], Hx[1], Hy[1], Hz[1]]))
 
 
 def _layer_segments(sim, z_axis):
@@ -161,6 +186,13 @@ def _layer_segments(sim, z_axis):
     return runs, z_prop
 
 
+def _synth(phase, f_mn):
+    """Spatial synthesis einsum('tn,fnz->ftz') on cpairs."""
+    f = lambda a, b: jnp.einsum('tn,fnz->ftz', a, b)
+    return (f(phase[0], f_mn[0]) - f(phase[1], f_mn[1]),
+            f(phase[0], f_mn[1]) + f(phase[1], f_mn[0]))
+
+
 def field_plane(sim, plane, t_axis, z_axis, fixed):
     """Fields on an xz or yz plane.
 
@@ -172,27 +204,34 @@ def field_plane(sim, plane, t_axis, z_axis, fixed):
       fixed: the fixed transverse coordinate.
 
     Returns:
-      ([Ex, Ey, Ez], [Hx, Hy, Hz]) each [len(t_axis), len(z_axis)].
+      ([Ex, Ey, Ez], [Hx, Hy, Hz]) each [len(t_axis), len(z_axis)], at the
+      solver's output convention (complex arrays or (re, im) pairs).
     """
     t = jnp.asarray(np.asarray(t_axis).reshape(-1), sim._rdtype)
     runs, z_prop = _layer_segments(sim, z_axis)
 
     Kx, Ky = sim.Kx_norm_dn, sim.Ky_norm_dn
     if plane == 'xz':
-        xy_phase = jnp.exp(1j * sim.omega * (Kx[None, :] * t[:, None]
-                                             + Ky[None, :] * fixed))
+        th = (Kx[0][None, :] * t[:, None] + Ky[0][None, :] * fixed,
+              Kx[1][None, :] * t[:, None] + Ky[1][None, :] * fixed)
     elif plane == 'yz':
-        xy_phase = jnp.exp(1j * sim.omega * (Kx[None, :] * fixed
-                                             + Ky[None, :] * t[:, None]))
+        th = (Kx[0][None, :] * fixed + Ky[0][None, :] * t[:, None],
+              Kx[1][None, :] * fixed + Ky[1][None, :] * t[:, None])
     else:
         raise ValueError(f'Unknown plane {plane!r}')
+    xy_phase = cplx.cexp_i((sim.omega * th[0], sim.omega * th[1]))
 
     chunks = []
     for (region, i0, i1) in runs:
-        f_mn = _region_fourier_fields(sim, region, z_prop[i0:i1])  # [6, N, nz]
-        chunks.append(jnp.einsum('tn,fnz->ftz', xy_phase, f_mn))
-    out = jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-    return [out[0], out[1], out[2]], [out[3], out[4], out[5]]
+        f_mn = _region_fourier_fields(sim, region, z_prop[i0:i1])
+        chunks.append(_synth(xy_phase, f_mn))
+    if len(chunks) > 1:
+        out = (jnp.concatenate([c[0] for c in chunks], axis=2),
+               jnp.concatenate([c[1] for c in chunks], axis=2))
+    else:
+        out = chunks[0]
+    comp = lambda f: sim._out((out[0][f], out[1][f]))
+    return [comp(0), comp(1), comp(2)], [comp(3), comp(4), comp(5)]
 
 
 def field_xy(sim, layer_num, x_axis, y_axis, z_prop=0.):
@@ -210,13 +249,27 @@ def field_xy(sim, layer_num, x_axis, y_axis, z_prop=0.):
     elif layer_num == sim.layer_N:
         z_prop = z_prop if z_prop >= 0. else 0.
 
-    f_mn = _region_fourier_fields(sim, layer_num, np.array([z_prop]))[:, :, 0]  # [6, N]
+    f = _region_fourier_fields(sim, layer_num, np.array([z_prop]))
+    f_mn = (f[0][:, :, 0], f[1][:, :, 0])        # cpair [6, N]
 
     x = jnp.asarray(np.asarray(x_axis).reshape(-1), sim._rdtype)
     y = jnp.asarray(np.asarray(y_axis).reshape(-1), sim._rdtype)
     Kx, Ky = sim.Kx_norm_dn, sim.Ky_norm_dn
-    phase_x = jnp.exp(1j * sim.omega * Kx[None, :] * x[:, None])  # [nx, N]
-    phase_y = jnp.exp(1j * sim.omega * Ky[None, :] * y[:, None])  # [ny, N]
+    phase_x = cplx.cexp_i((sim.omega * Kx[0][None, :] * x[:, None],
+                           sim.omega * Kx[1][None, :] * x[:, None]))  # [nx, N]
+    phase_y = cplx.cexp_i((sim.omega * Ky[0][None, :] * y[:, None],
+                           sim.omega * Ky[1][None, :] * y[:, None]))  # [ny, N]
 
-    out = jnp.einsum('xn,fn,yn->fxy', phase_x, f_mn, phase_y)
-    return [out[0], out[1], out[2]], [out[3], out[4], out[5]]
+    # out = einsum('xn,fn,yn->fxy') on cpairs: (px * f) then contract with py
+    def e3(a, b, c):
+        return jnp.einsum('xn,fn,yn->fxy', a, b, c)
+    pr, pi = phase_x
+    fr, fi = f_mn
+    qr, qi = phase_y
+    # (p*f) complex product then times q: expand the triple product
+    out_r = (e3(pr, fr, qr) - e3(pi, fi, qr)
+             - e3(pr, fi, qi) - e3(pi, fr, qi))
+    out_i = (e3(pr, fr, qi) - e3(pi, fi, qi)
+             + e3(pr, fi, qr) + e3(pi, fr, qr))
+    comp = lambda k: sim._out((out_r[k], out_i[k]))
+    return [comp(0), comp(1), comp(2)], [comp(3), comp(4), comp(5)]

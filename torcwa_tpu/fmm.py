@@ -33,9 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from ._constants import PI_REF
+from .core import (bdp_mul as _bdp_mul, bdp_inv as _bdp_inv,
+                   bdp_apply as _bdp_apply, bdp_dense as _bdp_dense,
+                   vmat as _core_vmat, interface_smatrix_in,
+                   interface_smatrix_out)
 from .ops import cplx
 from .ops.eig import eig_pair
-from .ops.fourier import order_vectors
+from .ops.fourier import order_vectors, material_conv_pair
 
 __all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair',
            'sparam_ps_pair', 'simulate_txx']
@@ -51,59 +55,9 @@ class StackSpec(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# Block-2x2-diagonal algebra on pairs ((2,2,N) re, (2,2,N) im)
+# Block-2x2-diagonal pair algebra now lives in core.py (shared with the
+# class API); imported above under the historical local names.
 # ---------------------------------------------------------------------------
-
-def _bdp_mul(a, b):
-    f = lambda x, y: jnp.einsum('abn,bcn->acn', x, y)
-    return (f(a[0], b[0]) - f(a[1], b[1]), f(a[0], b[1]) + f(a[1], b[0]))
-
-
-def _bdp_inv(a):
-    det = cplx.csub(cplx.cmul((a[0][0, 0], a[1][0, 0]), (a[0][1, 1], a[1][1, 1])),
-                    cplx.cmul((a[0][0, 1], a[1][0, 1]), (a[0][1, 0], a[1][1, 0])))
-    out_r = jnp.stack([jnp.stack([a[0][1, 1], -a[0][0, 1]]),
-                       jnp.stack([-a[0][1, 0], a[0][0, 0]])])
-    out_i = jnp.stack([jnp.stack([a[1][1, 1], -a[1][0, 1]]),
-                       jnp.stack([-a[1][1, 0], a[1][0, 0]])])
-    return cplx.cdivide((out_r, out_i), (det[0][None, None], det[1][None, None]))
-
-
-def _bdp_apply(a, x):
-    """bd pair (2,2,N) applied to dense pair [2N, M]."""
-    def app(ar, xr):
-        n = ar.shape[-1]
-        xt, xb = xr[:n], xr[n:]
-        top = ar[0, 0][:, None] * xt + ar[0, 1][:, None] * xb
-        bot = ar[1, 0][:, None] * xt + ar[1, 1][:, None] * xb
-        return jnp.concatenate([top, bot], axis=0)
-    return (app(a[0], x[0]) - app(a[1], x[1]),
-            app(a[0], x[1]) + app(a[1], x[0]))
-
-
-def _bdp_apply_right(x, a):
-    """Dense pair [M, 2N] times bd pair."""
-    def app(xr, ar):
-        n = ar.shape[-1]
-        xl, xr_ = xr[:, :n], xr[:, n:]
-        left = xl * ar[0, 0][None, :] + xr_ * ar[1, 0][None, :]
-        right = xl * ar[0, 1][None, :] + xr_ * ar[1, 1][None, :]
-        return jnp.concatenate([left, right], axis=1)
-    return (app(x[0], a[0]) - app(x[1], a[1]),
-            app(x[0], a[1]) + app(x[1], a[0]))
-
-
-def _bdp_dense(a):
-    n = a[0].shape[-1]
-    def dense(ar):
-        z = jnp.zeros((2 * n, 2 * n), ar.dtype)
-        idx = jnp.arange(n)
-        z = z.at[idx, idx].set(ar[0, 0])
-        z = z.at[idx, idx + n].set(ar[0, 1])
-        z = z.at[idx + n, idx].set(ar[1, 0])
-        z = z.at[idx + n, idx + n].set(ar[1, 1])
-        return z
-    return dense(a[0]), dense(a[1])
 
 
 # ---------------------------------------------------------------------------
@@ -113,39 +67,12 @@ def _bdp_dense(a):
 def dft_conv_pair(grid, order, nx, ny):
     """Toeplitz convolution matrix of a material grid via real DFT matmuls.
 
-    grid: pair (re, im) [nx, ny].  Returns pair [N, N].  Identical to the
-    reference's fft2 + order-difference gather (rcwa.py:1183-1204) — the
-    DFT is evaluated only at the (4ox+1) x (4oy+1) needed frequencies with
-    real cos/sin matmuls (MXU) instead of a full FFT.
+    Thin shim over ops.fourier.material_conv_pair (nx/ny kept in the
+    signature for backward compatibility; they must match grid.shape).
+    Identical to the reference's fft2 + order-difference gather
+    (rcwa.py:1183-1204) restricted to the needed order differences.
     """
-    rdtype = grid[0].dtype
-    dox = np.arange(-2 * order[0], 2 * order[0] + 1)
-    doy = np.arange(-2 * order[1], 2 * order[1] + 1)
-    x = np.arange(nx)
-    y = np.arange(ny)
-    # exp(-2 pi i k x / n)
-    phx = -2 * np.pi * np.outer(dox, x) / nx
-    phy = -2 * np.pi * np.outer(doy, y) / ny
-    Exc = jnp.asarray(np.cos(phx), rdtype)
-    Exs = jnp.asarray(np.sin(phx), rdtype)
-    Eyc = jnp.asarray(np.cos(phy), rdtype)
-    Eys = jnp.asarray(np.sin(phy), rdtype)
-
-    # M = Ex @ grid @ Ey^T / (nx ny): complex triple product on pairs, with
-    # Ex = Exc + i Exs (and likewise Ey)
-    def triple(g):
-        a = Exc @ g
-        b = Exs @ g
-        return (a @ Eyc.T - b @ Eys.T, a @ Eys.T + b @ Eyc.T)
-    mr_r, mr_i = triple(grid[0])
-    mi_r, mi_i = triple(grid[1])
-    Mr = (mr_r - mi_i) / (nx * ny)
-    Mi = (mr_i + mi_r) / (nx * ny)
-
-    ox, oy = order_vectors(order)
-    rows = (ox[:, None] - ox[None, :]) + 2 * order[0]
-    cols = (oy[:, None] - oy[None, :]) + 2 * order[1]
-    return Mr[rows, cols], Mi[rows, cols]
+    return material_conv_pair(grid, order)
 
 
 def kvectors_real(freq, inc_ang, azi_ang, n_ref, order, L, rdtype):
@@ -171,38 +98,22 @@ def _kz_pair(eps_mu, kx, ky):
 
 
 def vmat_pair(kx, ky, kz):
-    """Homogeneous-medium E->H map as a bd pair (rcwa.py:1145-1147)."""
-    kxp = (kx, jnp.zeros_like(kx))
-    kyp = (ky, jnp.zeros_like(ky))
-    v00 = cplx.cdivide(cplx.cmul(cplx.cneg(kyp), kxp), kz)
-    v01 = cplx.csub(cplx.cneg(kz), cplx.cdivide(cplx.cmul(kyp, kyp), kz))
-    v10 = cplx.cadd(kz, cplx.cdivide(cplx.cmul(kxp, kxp), kz))
-    v11 = cplx.cdivide(cplx.cmul(kxp, kyp), kz)
-    re = jnp.stack([jnp.stack([v00[0], v01[0]]), jnp.stack([v10[0], v11[0]])])
-    im = jnp.stack([jnp.stack([v00[1], v01[1]]), jnp.stack([v10[1], v11[1]])])
-    return re, im
+    """Homogeneous-medium E->H map as a bd pair (rcwa.py:1145-1147).
+
+    kx, ky are real arrays on this functional path (real incidence angles);
+    kz is a cpair.  Delegates to core.vmat on pairs.
+    """
+    return _core_vmat((kx, jnp.zeros_like(kx)), (ky, jnp.zeros_like(ky)), kz)
 
 
 def interface_in_pair(Vf, Vi):
     """Input cladding S-matrix blocks as bd pairs (rcwa.py:1157-1164)."""
-    t1 = _bdp_inv((Vf[0] + Vi[0], Vf[1] + Vi[1]))
-    t2 = (Vf[0] - Vi[0], Vf[1] - Vi[1])
-    m = _bdp_mul
-    s11 = m(t1, Vi); s11 = (2 * s11[0], 2 * s11[1])
-    s21 = m(t1, t2); s21n = (-s21[0], -s21[1])
-    s22 = m(t1, Vf); s22 = (2 * s22[0], 2 * s22[1])
-    return [s11, s21n, s21, s22]
+    return interface_smatrix_in(Vf, Vi)
 
 
 def interface_out_pair(Vf, Vo):
     """Output cladding S-matrix blocks as bd pairs (rcwa.py:1174-1181)."""
-    t1 = _bdp_inv((Vf[0] + Vo[0], Vf[1] + Vo[1]))
-    t2 = (Vf[0] - Vo[0], Vf[1] - Vo[1])
-    m = _bdp_mul
-    s11 = m(t1, Vf); s11 = (2 * s11[0], 2 * s11[1])
-    s12 = m(t1, t2)
-    s22 = m(t1, Vo); s22 = (2 * s22[0], 2 * s22[1])
-    return [s11, s12, (-s12[0], -s12[1]), s22]
+    return interface_smatrix_out(Vf, Vo)
 
 
 def pq_pair(eps_conv, kx, ky):
@@ -226,7 +137,6 @@ def pq_pair(eps_conv, kx, ky):
     Pr = blocks(einv[0], 1., 0.)
     Pi = blocks(einv[1], 0., 0.)
 
-    q00 = -(kxc * kyr) * eye_mask(n, rdtype)
     # Q with mu=1: [[ -diag(kx ky), eye*kx^2 - eps], [eps - diag(ky^2), diag(ky kx)]]
     d_kxky = jnp.diag(kx * ky)
     d_kx2 = jnp.diag(kx * kx)
@@ -236,10 +146,6 @@ def pq_pair(eps_conv, kx, ky):
     Qi = jnp.block([[jnp.zeros((n, n), rdtype), -eps_conv[1]],
                     [eps_conv[1], jnp.zeros((n, n), rdtype)]])
     return (Pr, Pi), (Qr, Qi)
-
-
-def eye_mask(n, rdtype):
-    return jnp.eye(n, dtype=rdtype)
 
 
 def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 
 __all__ = [
     'split', 'fuse', 'cadd', 'csub', 'cneg', 'conj', 'cmul', 'cdivide',
-    'cmm', 'conjT', 'cexp_i', 'csolve', 'cinv', 'cabs', 'cabs2', 'csqrt',
-    'scale_rows', 'scale_cols', 'ceye', 'czeros',
+    'cdiv_raw', 'cmm', 'conjT', 'cexp_i', 'csolve', 'cinv', 'cabs', 'cabs2',
+    'csqrt', 'csin', 'ccos', 'cwhere', 'scale_rows', 'scale_cols', 'ceye',
+    'czeros', 'to_pair',
 ]
 
 
@@ -51,9 +52,23 @@ def cmul(a, b):
 
 
 def cdivide(a, b):
-    """Elementwise complex division."""
+    """Elementwise complex division with a zero-denominator guard (0/0 -> 0).
+
+    Use only where the guard is intentional (e.g. the csqrt JVP's removable
+    singularity); for physics paths where division by zero must SURFACE as
+    inf/nan — Wood anomalies, kz == 0 — use :func:`cdiv_raw`, matching the
+    reference's behavior (rcwa.py:1145-1147 produces inf there and the
+    downstream isinf/isnan scrubbing handles it explicitly)."""
     d = b[0] * b[0] + b[1] * b[1]
     d = jnp.where(d > 0, d, 1.)
+    return ((a[0] * b[0] + a[1] * b[1]) / d,
+            (a[1] * b[0] - a[0] * b[1]) / d)
+
+
+def cdiv_raw(a, b):
+    """Elementwise complex division, unguarded: b == 0 yields inf/nan so
+    singular points (Wood anomalies) surface exactly as in the reference."""
+    d = b[0] * b[0] + b[1] * b[1]
     return ((a[0] * b[0] + a[1] * b[1]) / d,
             (a[1] * b[0] - a[0] * b[1]) / d)
 
@@ -91,6 +106,47 @@ def _csqrt_jvp(primals, tangents):
     w = _csqrt(ar, ai)
     dw = cdivide((dar, dai), (2 * w[0], 2 * w[1]))
     return w, dw
+
+
+def csin(a):
+    """Elementwise complex sine: sin(x+iy) = sin x cosh y + i cos x sinh y."""
+    return (jnp.sin(a[0]) * jnp.cosh(a[1]), jnp.cos(a[0]) * jnp.sinh(a[1]))
+
+
+def ccos(a):
+    """Elementwise complex cosine: cos(x+iy) = cos x cosh y - i sin x sinh y."""
+    return (jnp.cos(a[0]) * jnp.cosh(a[1]), -jnp.sin(a[0]) * jnp.sinh(a[1]))
+
+
+def cwhere(mask, a, b):
+    """jnp.where over both components of two cpairs."""
+    return jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1])
+
+
+def to_pair(x, rdtype=None):
+    """Coerce x (cpair | complex/real scalar | numpy/jax array) to a cpair.
+
+    Complex numpy/python inputs are split on host; complex jax arrays are
+    split with jnp.real/imag (CPU-only — the TPU runtime cannot hold complex
+    arrays, so on TPU callers pass real arrays or pairs)."""
+    import numpy as np
+    if isinstance(x, tuple) and len(x) == 2:
+        re = jnp.asarray(x[0], rdtype)
+        im = jnp.asarray(x[1], rdtype)
+        return re, jnp.broadcast_to(im, re.shape) if im.shape != re.shape else im
+    if isinstance(x, jnp.ndarray):
+        if jnp.iscomplexobj(x):
+            re, im = jnp.real(x), jnp.imag(x)
+        else:
+            re, im = x, jnp.zeros_like(x)
+        if rdtype is not None:
+            re, im = re.astype(rdtype), im.astype(rdtype)
+        return re, im
+    arr = np.asarray(x)
+    if np.iscomplexobj(arr):
+        return (jnp.asarray(arr.real, rdtype), jnp.asarray(arr.imag, rdtype))
+    re = jnp.asarray(arr, rdtype)
+    return re, jnp.zeros_like(re)
 
 
 def cmm(a, b):

@@ -14,7 +14,7 @@ indices modulo the grid size explicitly (identical semantics as long as
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ['order_vectors', 'material_conv']
+__all__ = ['order_vectors', 'material_conv', 'material_conv_pair']
 
 
 def order_vectors(order):
@@ -50,3 +50,43 @@ def material_conv(grid, order, dtype):
     cols = np.mod(oy[:, None] - oy[None, :], ny)
     fft = jnp.fft.fft2(grid.astype(dtype)) / (nx * ny)
     return fft[rows, cols]
+
+
+def material_conv_pair(grid, order):
+    """Toeplitz convolution matrix of a material grid, split-real.
+
+    grid: cpair (re, im) of [nx, ny] real arrays.  Returns a cpair [N, N].
+    Identical math to :func:`material_conv` (reference rcwa.py:1183-1204) —
+    the DFT is evaluated only at the (4ox+1) x (4oy+1) needed order
+    differences with real cos/sin matmuls (MXU-friendly, no complex FFT,
+    lowers on the TPU runtime).
+    """
+    rdtype = grid[0].dtype
+    nx, ny = grid[0].shape
+    dox = np.arange(-2 * order[0], 2 * order[0] + 1)
+    doy = np.arange(-2 * order[1], 2 * order[1] + 1)
+    x = np.arange(nx)
+    y = np.arange(ny)
+    # exp(-2 pi i k x / n)
+    phx = -2 * np.pi * np.outer(dox, x) / nx
+    phy = -2 * np.pi * np.outer(doy, y) / ny
+    Exc = jnp.asarray(np.cos(phx), rdtype)
+    Exs = jnp.asarray(np.sin(phx), rdtype)
+    Eyc = jnp.asarray(np.cos(phy), rdtype)
+    Eys = jnp.asarray(np.sin(phy), rdtype)
+
+    # M = Ex @ grid @ Ey^T / (nx ny): complex triple product on pairs, with
+    # Ex = Exc + i Exs (and likewise Ey)
+    def triple(g):
+        a = Exc @ g
+        b = Exs @ g
+        return (a @ Eyc.T - b @ Eys.T, a @ Eys.T + b @ Eyc.T)
+    mr_r, mr_i = triple(grid[0])
+    mi_r, mi_i = triple(grid[1])
+    Mr = (mr_r - mi_i) / (nx * ny)
+    Mi = (mr_i + mi_r) / (nx * ny)
+
+    ox, oy = order_vectors(order)
+    rows = (ox[:, None] - ox[None, :]) + 2 * order[0]
+    cols = (oy[:, None] - oy[None, :]) + 2 * order[1]
+    return Mr[rows, cols], Mi[rows, cols]

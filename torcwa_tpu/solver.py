@@ -3,10 +3,18 @@
 ``rcwa`` mirrors the public surface of the reference solver class
 (/root/reference/torcwa/rcwa.py:7-1306) — same method names, arguments and
 physics conventions — so reference example scripts port with an import
-change.  Internally it is a thin stateful shell over the pure functions in
-:mod:`torcwa_tpu.core`: each heavy stage is a jitted pure function, so the
-whole object works under ``jax.grad`` / inside a traced objective, and
-repeated instantiations with the same shapes hit the jit cache.
+change.  Internally it is a thin stateful shell over the pure split-real
+functions in :mod:`torcwa_tpu.core`: every heavy stage is a jitted pure
+function of (re, im) float pairs, so the whole object works under
+``jax.grad`` / inside a traced objective, runs end-to-end on the TPU
+runtime (which cannot hold complex arrays), and repeated instantiations
+with the same shapes hit the jit cache.
+
+Output convention: extraction methods (``S_parameters``, ``field_*``,
+``diffraction_angle``, ``return_layer``) return complex arrays when the
+backend supports them (CPU — the default, golden-tested surface) and
+split-real ``(re, im)`` pairs on TPU, controlled by the ``output``
+constructor argument ('auto' | 'complex' | 'pair').
 
 Unit conventions (reference rcwa.py:17-21): Lorentz-Heaviside, c = 1,
 exp(-j w t) time harmonics.
@@ -21,7 +29,10 @@ import jax.numpy as jnp
 
 from ._constants import PI_REF, validate_sim_dtype, real_dtype_of
 from . import core
-from .core import bd_apply, bd_dense, bd_inv, bd_mul
+from .core import bdp_apply, bdp_dense, bdp_inv, bdp_mul
+from .ops import cplx
+from .ops.cplx import (cadd, csub, cneg, cmul, cdiv_raw, cmm, csqrt,
+                       csin, ccos)
 from .ops.eig import Eig
 from .ops import fourier
 from . import fields as _fields
@@ -35,37 +46,52 @@ __all__ = ['rcwa']
 # point, e.g. Example3's 11x11 loop).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=('order', 'dtype'))
-def _jit_material_conv(grid, order, dtype):
-    return fourier.material_conv(grid, order, dtype)
+def _hp(fn):
+    """Wrap a stage in highest matmul precision: the S-matrix algebra is
+    precision-critical and TPU f32 matmuls default to bf16 passes."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision('highest'):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@functools.partial(jax.jit, static_argnames=('order',))
+@_hp
+def _jit_material_conv(grid, order):
+    return fourier.material_conv_pair(grid, order)
 
 
 @functools.partial(jax.jit, static_argnames=(
     'broadening', 'backend', 'stable_grad', 'avoid_pinv', 'max_pinv'))
-def _jit_patterned_layer(eps_conv, mu_conv, kx, ky, Vf, omega, thickness,
+@_hp
+def _jit_patterned_layer(eps_conv, mu_conv, kx, ky, Vf_inv, omega, thickness,
                          broadening, backend, stable_grad, avoid_pinv,
                          max_pinv):
     P, Q = core.pq_matrices(eps_conv, mu_conv, kx, ky)
     kz, E = core.eigen_decomposition(P, Q, broadening, backend, stable_grad)
     sol, instability = core.layer_smatrix(
-        E, kz, P, Q, Vf, omega, thickness,
+        E, kz, P, Q, Vf_inv, omega, thickness,
         avoid_pinv_instability=avoid_pinv, max_pinv_instability=max_pinv)
     return sol, instability
 
 
-@functools.partial(jax.jit, static_argnames=('dtype',))
-def _jit_homogeneous_layer(eps, mu, kx, ky, Vf, omega, thickness, dtype):
+@jax.jit
+@_hp
+def _jit_homogeneous_layer(eps, mu, kx, ky, Vf, omega, thickness):
     return core.layer_smatrix_homogeneous(eps, mu, kx, ky, Vf, omega,
-                                          thickness, dtype)
+                                          thickness)
 
 
-_jit_redheffer = jax.jit(core.redheffer_product)
+_jit_redheffer = jax.jit(_hp(core.redheffer_product))
 
 
 def _is_scalar_like(v):
     """Homogeneity test mirroring rcwa.py:156-157."""
     if isinstance(v, (int, float, complex)):
         return True
+    if isinstance(v, tuple) and len(v) == 2:      # explicit (re, im) pair
+        return _is_scalar_like(v[0])
     arr = np.asarray(v) if not isinstance(v, jnp.ndarray) else v
     return arr.ndim == 0 or (arr.ndim == 1 and arr.shape[0] == 1)
 
@@ -81,6 +107,15 @@ class rcwa:
       stable_eig_grad: use the broadening-stabilized eig backward
       avoid_Pinv_instability / max_Pinv_instability: P-inverse fallback knobs
       eig_backend: 'auto' | 'qr' (TPU-native) | 'callback' (host LAPACK)
+      output: 'auto' | 'complex' | 'pair' — extraction methods return
+        complex arrays ('complex') or split-real (re, im) pairs ('pair');
+        'auto' picks 'complex' on CPU and 'pair' on TPU.
+
+    Broadening: with ``stable_eig_grad=True`` the eig backward uses
+    ``Eig.broadening_parameter`` if the user changed it from the
+    reference's default (1e-10), else the dtype-aware 'auto' value
+    (1e-10 at float64, 1e-6 at float32 — 1e-10 is far below float32
+    eigensolver noise and inflates gradients ~100x; see ops/eig.py).
     """
 
     def __init__(self, freq, order, L, *,
@@ -89,11 +124,19 @@ class rcwa:
                  stable_eig_grad=True,
                  avoid_Pinv_instability=False,
                  max_Pinv_instability=0.005,
-                 eig_backend='auto'):
+                 eig_backend='auto',
+                 output='auto'):
         self._dtype = validate_sim_dtype(dtype)
         self._rdtype = real_dtype_of(self._dtype)
         self._device = device  # accepted for API compat; unused
         self.eig_backend = eig_backend
+
+        if output == 'auto':
+            output = 'complex' if jax.default_backend() == 'cpu' else 'pair'
+        if output not in ('complex', 'pair'):
+            warnings.warn('Invalid output mode. Set as complex.', UserWarning)
+            output = 'complex'
+        self._complex_out = output == 'complex'
 
         self.stable_eig_grad = bool(stable_eig_grad)
 
@@ -109,7 +152,7 @@ class rcwa:
             self.Qinv_instability = None
 
         # Simulation parameters (rcwa.py:59-72)
-        self.freq = jnp.asarray(freq, dtype=self._dtype)
+        self.freq = freq
         self.omega = 2 * PI_REF * freq  # rcwa.py:61 uses the raw argument
         self.order = [int(order[0]), int(order[1])]
         self._order_t = (int(order[0]), int(order[1]))
@@ -117,14 +160,14 @@ class rcwa:
         self.order_y = np.arange(-self.order[1], self.order[1] + 1)
         self.order_N = len(self.order_x) * len(self.order_y)
         self.L = L
-        self.Gx_norm = 1 / (L[0] * self.freq)
-        self.Gy_norm = 1 / (L[1] * self.freq)
+        self.Gx_norm = 1 / (L[0] * freq)
+        self.Gy_norm = 1 / (L[1] * freq)
 
         # Claddings default to free space (rcwa.py:74-78)
-        self.eps_in = jnp.asarray(1., dtype=self._dtype)
-        self.mu_in = jnp.asarray(1., dtype=self._dtype)
-        self.eps_out = jnp.asarray(1., dtype=self._dtype)
-        self.mu_out = jnp.asarray(1., dtype=self._dtype)
+        self.eps_in = self._p(1.)
+        self.mu_in = self._p(1.)
+        self.eps_out = self._p(1.)
+        self.mu_out = self._p(1.)
         self._has_input_layer = False
         self._has_output_layer = False
 
@@ -133,28 +176,51 @@ class rcwa:
         self.thickness = []
         self.eps_conv, self.mu_conv = [], []
         self.layers = []          # list[core.LayerSolution]
-        self._layer_is_bd = []    # True for homogeneous (bd-structured) layers
+        self._layer_is_bd = []    # True for homogeneous (bdp) layers
+
+    # -- pair plumbing ------------------------------------------------------
+
+    def _p(self, x):
+        """Coerce user input (complex/real scalar or array, or an explicit
+        (re, im) pair) to a cpair at the simulation's real dtype."""
+        return cplx.to_pair(x, self._rdtype)
+
+    def _out(self, pair):
+        """User-boundary conversion: fuse to complex or return the pair."""
+        if self._complex_out:
+            return pair[0] + 1j * pair[1]
+        return pair
+
+    @property
+    def _broadening(self):
+        """Effective eig-backward broadening for this instance.
+
+        Mirrors Eig.broadening_parameter (reference torch_eig.py:9) when
+        the user changed it from the reference default; otherwise uses the
+        dtype-aware 'auto' value (identical at float64, sane at float32)."""
+        b = Eig.broadening_parameter
+        return 'auto' if b == 1e-10 else b
 
     # -- setup ------------------------------------------------------------
 
     def add_input_layer(self, eps=1., mu=1.):
         """Set the semi-infinite input cladding (rcwa.py:95-107)."""
-        self.eps_in = jnp.asarray(eps, dtype=self._dtype)
-        self.mu_in = jnp.asarray(mu, dtype=self._dtype)
+        self.eps_in = self._p(eps)
+        self.mu_in = self._p(mu)
         self._has_input_layer = True
         self.Sin = []
 
     def add_output_layer(self, eps=1., mu=1.):
         """Set the semi-infinite output cladding (rcwa.py:109-121)."""
-        self.eps_out = jnp.asarray(eps, dtype=self._dtype)
-        self.mu_out = jnp.asarray(mu, dtype=self._dtype)
+        self.eps_out = self._p(eps)
+        self.mu_out = self._p(mu)
         self._has_output_layer = True
         self.Sout = []
 
     def set_incident_angle(self, inc_ang, azi_ang, angle_layer='input'):
         """Set incidence/azimuth (radians) and build k-vectors (rcwa.py:123-144)."""
-        self.inc_ang = jnp.asarray(inc_ang, dtype=self._dtype)
-        self.azi_ang = jnp.asarray(azi_ang, dtype=self._dtype)
+        self.inc_ang = self._p(inc_ang)
+        self.azi_ang = self._p(azi_ang)
 
         if angle_layer in ['i', 'in', 'input']:
             self.angle_layer = 'input'
@@ -172,10 +238,18 @@ class rcwa:
         is_eps_h = _is_scalar_like(eps)
         is_mu_h = _is_scalar_like(mu)
 
-        eps_c = (jnp.asarray(eps, self._dtype) * jnp.eye(self.order_N, dtype=self._dtype)
-                 if is_eps_h else _jit_material_conv(eps, self._order_t, self._dtype))
-        mu_c = (jnp.asarray(mu, self._dtype) * jnp.eye(self.order_N, dtype=self._dtype)
-                if is_mu_h else _jit_material_conv(mu, self._order_t, self._dtype))
+        if is_eps_h:
+            ep = self._p(eps)
+            eye = jnp.eye(self.order_N, dtype=self._rdtype)
+            eps_c = (ep[0] * eye, ep[1] * eye)
+        else:
+            eps_c = _jit_material_conv(self._p(eps), self._order_t)
+        if is_mu_h:
+            mp_ = self._p(mu)
+            eye = jnp.eye(self.order_N, dtype=self._rdtype)
+            mu_c = (mp_[0] * eye, mp_[1] * eye)
+        else:
+            mu_c = _jit_material_conv(self._p(mu), self._order_t)
         self.eps_conv.append(eps_c)
         self.mu_conv.append(mu_c)
 
@@ -184,16 +258,17 @@ class rcwa:
 
         if is_eps_h and is_mu_h:
             sol = _jit_homogeneous_layer(
-                jnp.asarray(eps, self._dtype), jnp.asarray(mu, self._dtype),
+                self._p(eps), self._p(mu),
                 self.Kx_norm_dn, self.Ky_norm_dn, self.Vf, self.omega,
-                thickness, self._dtype)
+                thickness)
             self.layers.append(sol)
             self._layer_is_bd.append(True)
         else:
             sol, instability = _jit_patterned_layer(
-                eps_c, mu_c, self.Kx_norm_dn, self.Ky_norm_dn, self.Vf,
+                eps_c, mu_c, self.Kx_norm_dn, self.Ky_norm_dn, self.Vf_inv,
                 self.omega, thickness,
-                broadening=(Eig.broadening_parameter if self.stable_eig_grad else 0.0),
+                broadening=(self._broadening if self.stable_eig_grad
+                            else 0.0),
                 backend=self.eig_backend,
                 stable_grad=self.stable_eig_grad,
                 avoid_pinv=self.avoid_Pinv_instability,
@@ -208,28 +283,28 @@ class rcwa:
     # -- global solve -----------------------------------------------------
 
     def _dense_S(self, i):
-        """Layer i's S blocks [S11, S21, S12, S22] as dense matrices.
+        """Layer i's S blocks [S11, S21, S12, S22] as dense cpairs.
 
         Exploits S22 == S11 and S12 == S21 (see core.py docstring)."""
         sol = self.layers[i]
         if self._layer_is_bd[i]:
-            s11 = bd_dense(sol.S11)
-            s21 = bd_dense(sol.S21)
+            s11 = bdp_dense(sol.S11)
+            s21 = bdp_dense(sol.S21)
         else:
             s11, s21 = sol.S11, sol.S21
         return [s11, s21, s21, s11]
 
     def _dense_C(self, i):
-        """Layer i's (Cf, Cb) as dense [4N, 2N] pairs split into
-        (top, bottom) = ((G, D), (D, G))."""
+        """Layer i's (Cf, Cb) as dense [4N, 2N] cpairs:
+        Cf = [G; D], Cb = [D; G]."""
         sol = self.layers[i]
         if self._layer_is_bd[i]:
-            G, D = bd_dense(sol.G), bd_dense(sol.D)
+            G, D = bdp_dense(sol.G), bdp_dense(sol.D)
         else:
             G, D = sol.G, sol.D
-        cf = jnp.concatenate([G, D], axis=0)
-        cb = jnp.concatenate([D, G], axis=0)
-        return (cf, cb)
+        cat = lambda a, b: (jnp.concatenate([a[0], b[0]], axis=0),
+                            jnp.concatenate([a[1], b[1]], axis=0))
+        return (cat(G, D), cat(D, G))
 
     def solve_global_smatrix(self):
         """Fold all layer S-matrices plus claddings via Redheffer star
@@ -239,8 +314,8 @@ class rcwa:
             S = self._dense_S(0)
             C = [self._dense_C(0)]
         else:
-            eye = jnp.eye(n2, dtype=self._dtype)
-            zero = jnp.zeros((n2, n2), dtype=self._dtype)
+            eye = cplx.ceye(n2, self._rdtype)
+            zero = cplx.czeros((n2, n2), self._rdtype)
             S = [eye, zero, zero, eye]
             C = []
 
@@ -251,13 +326,13 @@ class rcwa:
             S = S_new
 
         if self._has_input_layer:
-            Sin = [bd_dense(b) for b in self.Sin]
+            Sin = [bdp_dense(b) for b in self.Sin]
             S_new, t1, t2 = _jit_redheffer(Sin, S)
             C = core.redheffer_update_modes([], C, Sin, S, t1, t2)
             S = S_new
 
         if self._has_output_layer:
-            Sout = [bd_dense(b) for b in self.Sout]
+            Sout = [bdp_dense(b) for b in self.Sout]
             S_new, t1, t2 = _jit_redheffer(S, Sout)
             C = core.redheffer_update_modes(C, [], S, Sout, t1, t2)
             S = S_new
@@ -289,12 +364,12 @@ class rcwa:
         eps = self.eps_in if layer == 'input' else self.eps_out
         mu = self.mu_in if layer == 'input' else self.mu_out
 
-        kx = self.Kx_norm_dn[idx]
-        ky = self.Ky_norm_dn[idx]
-        kt = jnp.sqrt(kx ** 2 + ky ** 2)
-        kz = jnp.sqrt(eps * mu - kx ** 2 - ky ** 2)
-        inc = jnp.arctan2(jnp.real(kt), jnp.real(kz))
-        azi = jnp.arctan2(jnp.real(ky), jnp.real(kx))
+        kx = (self.Kx_norm_dn[0][idx], self.Kx_norm_dn[1][idx])
+        ky = (self.Ky_norm_dn[0][idx], self.Ky_norm_dn[1][idx])
+        kt = csqrt(cadd(cmul(kx, kx), cmul(ky, ky)))
+        kz = csqrt(csub(cmul(eps, mu), cadd(cmul(kx, kx), cmul(ky, ky))))
+        inc = jnp.arctan2(kt[0], kz[0])
+        azi = jnp.arctan2(ky[0], kx[0])
         if unit == 'degree':
             inc = (180. / PI_REF) * inc
             azi = (180. / PI_REF) * azi
@@ -302,7 +377,11 @@ class rcwa:
 
     def return_layer(self, layer_num, nx=100, ny=100):
         """Recover a layer's eps/mu spatial distributions from its truncated
-        Fourier coefficients (rcwa.py:264-298)."""
+        Fourier coefficients (rcwa.py:264-298).
+
+        The reference scatters the conv-matrix coefficients into an [nx, ny]
+        spectrum and ifft2s it; here the inverse DFT is two real matmuls on
+        the (re, im) pair — identical values, no complex FFT needed."""
         ox, oy = self.order[0], self.order[1]
         noy = 2 * oy + 1
         ii, jj, src_r, src_c = [], [], [], []
@@ -321,12 +400,22 @@ class rcwa:
         ii, jj = np.array(ii), np.array(jj)
         src_r, src_c = np.array(src_r), np.array(src_c)
 
-        eps_fft = jnp.zeros((nx, ny), self._dtype).at[ii, jj].set(
-            self.eps_conv[layer_num][src_r, src_c])
-        mu_fft = jnp.zeros((nx, ny), self._dtype).at[ii, jj].set(
-            self.mu_conv[layer_num][src_r, src_c])
-        return (jnp.fft.ifftn(eps_fft) * nx * ny,
-                jnp.fft.ifftn(mu_fft) * nx * ny)
+        # inverse-DFT synthesis matrices exp(+2 pi i x k / n)
+        phx = 2 * np.pi * np.outer(np.arange(nx), np.arange(nx)) / nx
+        phy = 2 * np.pi * np.outer(np.arange(ny), np.arange(ny)) / ny
+        Wx = (jnp.asarray(np.cos(phx), self._rdtype),
+              jnp.asarray(np.sin(phx), self._rdtype))
+        Wy = (jnp.asarray(np.cos(phy).T, self._rdtype),
+              jnp.asarray(np.sin(phy).T, self._rdtype))
+
+        def synth(conv):
+            F = cplx.czeros((nx, ny), self._rdtype)
+            F = (F[0].at[ii, jj].set(conv[0][src_r, src_c]),
+                 F[1].at[ii, jj].set(conv[1][src_r, src_c]))
+            return cmm(Wx, cmm(F, Wy))
+
+        return (self._out(synth(self.eps_conv[layer_num])),
+                self._out(synth(self.mu_conv[layer_num])))
 
     def S_parameters(self, orders, *, direction='forward', port='transmission',
                      polarization='xx', ref_order=[0, 0], power_norm=True,
@@ -363,23 +452,27 @@ class rcwa:
         N = self.order_N
         Kx, Ky = self.Kx_norm_dn, self.Ky_norm_dn
 
+        def kz_c(eps, mu):
+            return csqrt(csub(cmul(eps, mu),
+                              cadd(cmul(Kx, Kx), cmul(Ky, Ky))))
+
         if polarization in ['xx', 'yx', 'xy', 'yy']:
             oi_p = oi + (N if polarization in ('yx', 'yy') else 0)
             ri_p = ri + (N if polarization in ('xy', 'yy') else 0)
 
             if power_norm:
-                kz_in_c = jnp.sqrt(self.eps_in * self.mu_in - Kx ** 2 - Ky ** 2)
-                ev_in = jnp.abs(jnp.real(kz_in_c) / jnp.imag(kz_in_c)) < evanscent
-                kz_in = jnp.where(ev_in, 0., jnp.real(kz_in_c))
+                kz_in_c = kz_c(self.eps_in, self.mu_in)
+                ev_in = jnp.abs(kz_in_c[0] / kz_in_c[1]) < evanscent
+                kz_in = jnp.where(ev_in, 0., kz_in_c[0])
                 kz_in = jnp.concatenate([kz_in, kz_in])
 
-                kz_out_c = jnp.sqrt(self.eps_out * self.mu_out - Kx ** 2 - Ky ** 2)
-                ev_out = jnp.abs(jnp.real(kz_out_c) / jnp.imag(kz_out_c)) < evanscent
-                kz_out = jnp.where(ev_out, 0., jnp.real(kz_out_c))
+                kz_out_c = kz_c(self.eps_out, self.mu_out)
+                ev_out = jnp.abs(kz_out_c[0] / kz_out_c[1]) < evanscent
+                kz_out = jnp.where(ev_out, 0., kz_out_c[0])
                 kz_out = jnp.concatenate([kz_out, kz_out])
 
-                kxr = jnp.concatenate([jnp.real(Kx), jnp.real(Kx)])
-                kyr = jnp.concatenate([jnp.real(Ky), jnp.real(Ky)])
+                kxr = jnp.concatenate([Kx[0], Kx[0]])
+                kyr = jnp.concatenate([Ky[0], Ky[0]])
                 pol_map = {'xx': (kxr, kxr), 'xy': (kxr, kyr),
                            'yx': (kyr, kxr), 'yy': (kyr, kyr)}
                 num_pol, den_pol = pol_map[polarization]
@@ -393,83 +486,83 @@ class rcwa:
 
             block = {'transmission': {'forward': 0, 'backward': 3},
                      'reflection': {'forward': 1, 'backward': 2}}[port][direction]
-            S = self.S[block][oi_p, ri_p] * norm
-            S = jnp.where(jnp.isinf(S), 0., S)
-            S = jnp.where(jnp.isnan(S), 0., S)
-            return S
+            Sr = self.S[block][0][oi_p, ri_p] * norm
+            Si = self.S[block][1][oi_p, ri_p] * norm
+            bad = ~jnp.isfinite(Sr) | ~jnp.isfinite(Si)
+            return self._out((jnp.where(bad, 0., Sr), jnp.where(bad, 0., Si)))
 
         else:  # ps-pol
             if direction == 'forward' and port == 'transmission':
-                idx, o_sign, r_sign = 0, 1, 1
-                o_k2 = self.eps_out * self.mu_out
-                r_k2 = self.eps_in * self.mu_in
+                idx, o_sign, r_sign = 0, 1., 1.
+                o_k2 = cmul(self.eps_out, self.mu_out)
+                r_k2 = cmul(self.eps_in, self.mu_in)
             elif direction == 'forward' and port == 'reflection':
-                idx, o_sign, r_sign = 1, -1, 1
-                o_k2 = self.eps_in * self.mu_in
-                r_k2 = self.eps_in * self.mu_in
+                idx, o_sign, r_sign = 1, -1., 1.
+                o_k2 = cmul(self.eps_in, self.mu_in)
+                r_k2 = cmul(self.eps_in, self.mu_in)
             elif direction == 'backward' and port == 'reflection':
-                idx, o_sign, r_sign = 2, 1, -1
-                o_k2 = self.eps_out * self.mu_out
-                r_k2 = self.eps_out * self.mu_out
+                idx, o_sign, r_sign = 2, 1., -1.
+                o_k2 = cmul(self.eps_out, self.mu_out)
+                r_k2 = cmul(self.eps_out, self.mu_out)
             else:  # backward transmission
-                idx, o_sign, r_sign = 3, -1, -1
-                o_k2 = self.eps_in * self.mu_in
-                r_k2 = self.eps_out * self.mu_out
+                idx, o_sign, r_sign = 3, -1., -1.
+                o_k2 = cmul(self.eps_in, self.mu_in)
+                r_k2 = cmul(self.eps_out, self.mu_out)
 
-            okx, oky = Kx[oi], Ky[oi]
-            okt = jnp.sqrt(okx ** 2 + oky ** 2)
-            okz_c = jnp.sqrt(o_k2 - okx ** 2 - oky ** 2)
-            okz = o_sign * jnp.abs(jnp.real(okz_c))
-            o_evan = jnp.abs(jnp.real(okz_c) / jnp.imag(okz_c)) < evanscent
-            o_inc = jnp.arctan2(jnp.real(okt), okz)
-            o_azi = jnp.arctan2(jnp.real(oky), jnp.real(okx))
+            def angles(sel, k2, sign):
+                kxs = (Kx[0][sel], Kx[1][sel])
+                kys = (Ky[0][sel], Ky[1][sel])
+                kt = csqrt(cadd(cmul(kxs, kxs), cmul(kys, kys)))
+                kzc = csqrt(csub(k2, cadd(cmul(kxs, kxs), cmul(kys, kys))))
+                kz = sign * jnp.abs(kzc[0])
+                evan = jnp.abs(kzc[0] / kzc[1]) < evanscent
+                inc = jnp.arctan2(kt[0], kz)
+                azi = jnp.arctan2(kys[0], kxs[0])
+                return inc, azi, evan
 
-            rkx, rky = Kx[ri], Ky[ri]
-            rkt = jnp.sqrt(rkx ** 2 + rky ** 2)
-            rkz_c = jnp.sqrt(r_k2 - rkx ** 2 - rky ** 2)
-            rkz = r_sign * jnp.abs(jnp.real(rkz_c))
-            r_evan = jnp.abs(jnp.real(rkz_c) / jnp.imag(rkz_c)) < evanscent
-            r_inc = jnp.arctan2(jnp.real(rkt), rkz)
-            r_azi = jnp.arctan2(jnp.real(rky), jnp.real(rkx))
+            o_inc, o_azi, o_evan = angles(oi, o_k2, o_sign)
+            r_inc, r_azi, r_evan = angles(ri, r_k2, r_sign)
 
-            xx = self.S[idx][oi, ri]
-            xy = self.S[idx][oi, ri + N]
-            yx = self.S[idx][oi + N, ri]
-            yy = self.S[idx][oi + N, ri + N]
-            xx = jnp.where(o_evan, 0., xx)
-            xy = jnp.where(o_evan, 0., xy)
-            yx = jnp.where(o_evan, 0., yx)
-            yy = jnp.where(o_evan, 0., yy)
+            def gather(a, b):
+                return self.S[idx][0][a, b], self.S[idx][1][a, b]
+
+            zero_ev = lambda p: (jnp.where(o_evan, 0., p[0]),
+                                 jnp.where(o_evan, 0., p[1]))
+            xx = zero_ev(gather(oi, ri))
+            xy = zero_ev(gather(oi, ri + N))
+            yx = zero_ev(gather(oi + N, ri))
+            yy = zero_ev(gather(oi + N, ri + N))
 
             co, so = jnp.cos(o_azi), jnp.sin(o_azi)
             ci = jnp.cos(o_inc)
             cr, sr = jnp.cos(r_azi), jnp.sin(r_azi)
             cri = jnp.cos(r_inc)
-            if polarization == 'pp':
-                S = (co / ci * cri * cr * xx + so / ci * cri * cr * yx
-                     + co / ci * cri * sr * xy + so / ci * cri * sr * yy)
-            elif polarization == 'ps':
-                S = (co / ci * (-sr) * xx + so / ci * (-sr) * yx
-                     + co / ci * cr * xy + so / ci * cr * yy)
-            elif polarization == 'sp':
-                S = (-so * cri * cr * xx + co * cri * cr * yx
-                     - so * cri * sr * xy + co * cri * sr * yy)
-            else:  # 'ss'
-                S = (-so * (-sr) * xx + co * (-sr) * yx
-                     - so * cr * xy + co * cr * yy)
+            # real coefficient recombination (angles are real; rcwa.py:466-485)
+            coeff = {
+                'pp': (co / ci * cri * cr, so / ci * cri * cr,
+                       co / ci * cri * sr, so / ci * cri * sr),
+                'ps': (co / ci * (-sr), so / ci * (-sr),
+                       co / ci * cr, so / ci * cr),
+                'sp': (-so * cri * cr, co * cri * cr,
+                       -so * cri * sr, co * cri * sr),
+                'ss': (-so * (-sr), co * (-sr), -so * cr, co * cr),
+            }[polarization]
+            Sr = (coeff[0] * xx[0] + coeff[1] * yx[0]
+                  + coeff[2] * xy[0] + coeff[3] * yy[0])
+            Si = (coeff[0] * xx[1] + coeff[1] * yx[1]
+                  + coeff[2] * xy[1] + coeff[3] * yy[1])
 
             if power_norm:
-                kz_in_c = jnp.sqrt(self.eps_in * self.mu_in - Kx ** 2 - Ky ** 2)
-                ev_in = jnp.abs(jnp.real(kz_in_c) / jnp.imag(kz_in_c)) < evanscent
-                kz_in = jnp.where(ev_in, 0., jnp.real(kz_in_c))
+                kz_in_c = kz_c(self.eps_in, self.mu_in)
+                ev_in = jnp.abs(kz_in_c[0] / kz_in_c[1]) < evanscent
+                kz_in = jnp.where(ev_in, 0., kz_in_c[0])
                 kz_in = jnp.concatenate([kz_in, kz_in])
 
                 # NB: the ps branch keeps |Re kz| for evanescent *output*
                 # orders instead of zeroing them (rcwa.py:495) — replicated.
-                kz_out_c = jnp.sqrt(self.eps_out * self.mu_out - Kx ** 2 - Ky ** 2)
-                ev_out = jnp.abs(jnp.real(kz_out_c) / jnp.imag(kz_out_c)) < evanscent
-                kz_out = jnp.where(ev_out, jnp.abs(jnp.real(kz_out_c)),
-                                   jnp.real(kz_out_c))
+                kz_out_c = kz_c(self.eps_out, self.mu_out)
+                ev_out = jnp.abs(kz_out_c[0] / kz_out_c[1]) < evanscent
+                kz_out = jnp.where(ev_out, jnp.abs(kz_out_c[0]), kz_out_c[0])
                 kz_out = jnp.concatenate([kz_out, kz_out])
 
                 num_kz, den_kz = self._select_kz(direction, port, kz_in, kz_out)
@@ -477,12 +570,13 @@ class rcwa:
             else:
                 norm = 1.
 
-            S = jnp.where(jnp.isinf(S), 0., S)
-            S = jnp.where(jnp.isnan(S), 0., S)
-            S = S * norm
+            bad = ~jnp.isfinite(Sr) | ~jnp.isfinite(Si)
+            Sr = jnp.where(bad, 0., Sr) * norm
+            Si = jnp.where(bad, 0., Si) * norm
             # Reference returns all-zero if the reference order is evanescent
             # (rcwa.py:462-464); jnp.where keeps this traceable.
-            return jnp.where(r_evan, 0., S)
+            return self._out((jnp.where(r_evan, 0., Sr),
+                              jnp.where(r_evan, 0., Si)))
 
     @staticmethod
     def _select_kz(direction, port, kz_in, kz_out):
@@ -506,7 +600,10 @@ class rcwa:
     def source_fourier(self, *, amplitude, orders, direction='forward',
                        notation='xy'):
         """Incident Fourier amplitude vector (rcwa.py:539-596)."""
-        amplitude = jnp.asarray(amplitude, self._dtype).reshape(-1, 2)
+        amp = self._p(np.asarray(amplitude, dtype=np.complex128)
+                      if not isinstance(amplitude, (tuple, jnp.ndarray))
+                      else amplitude)
+        amp = (amp[0].reshape(-1, 2), amp[1].reshape(-1, 2))
 
         if direction in ['f', 'forward']:
             direction = 'forward'
@@ -524,28 +621,39 @@ class rcwa:
         self.source_direction = direction
 
         N = self.order_N
-        E_i = jnp.zeros((2 * N,), self._dtype)
-        E_i = E_i.at[idx].set(amplitude[:, 0])
-        E_i = E_i.at[idx + N].set(amplitude[:, 1])
+        def scatter(comp):
+            v = jnp.zeros((2 * N,), self._rdtype)
+            v = v.at[idx].set(comp[:, 0])
+            return v.at[idx + N].set(comp[:, 1])
+        E_i = (scatter(amp[0]), scatter(amp[1]))
 
         if notation == 'ps':
             if direction == 'forward':
-                eps, mu, sign = self.eps_in, self.mu_in, 1
+                eps, mu, sign = self.eps_in, self.mu_in, 1.
             else:
-                eps, mu, sign = self.eps_out, self.mu_out, -1
+                eps, mu, sign = self.eps_out, self.mu_out, -1.
             Kx, Ky = self.Kx_norm_dn, self.Ky_norm_dn
-            kt = jnp.sqrt(Kx ** 2 + Ky ** 2)
-            kz = sign * jnp.abs(jnp.real(jnp.sqrt(eps * mu - Kx ** 2 - Ky ** 2)))
-            inc = jnp.arctan2(jnp.real(kt), kz)
-            azi = jnp.arctan2(jnp.real(Ky), jnp.real(Kx))
-            # ps->xy block-diagonal conversion (rcwa.py:589-594)
-            ps2xy = jnp.stack([
+            kt = csqrt(cadd(cmul(Kx, Kx), cmul(Ky, Ky)))
+            kzc = csqrt(csub(cmul(eps, mu),
+                             cadd(cmul(Kx, Kx), cmul(Ky, Ky))))
+            kz = sign * jnp.abs(kzc[0])
+            inc = jnp.arctan2(kt[0], kz)
+            azi = jnp.arctan2(Ky[0], Kx[0])
+            # ps->xy block-diagonal conversion (rcwa.py:589-594); the
+            # conversion matrix is real-valued (angles are real)
+            ps2xy_re = jnp.stack([
                 jnp.stack([jnp.cos(inc) * jnp.cos(azi), -jnp.sin(azi)]),
                 jnp.stack([jnp.cos(inc) * jnp.sin(azi), jnp.cos(azi)]),
-            ]).astype(self._dtype)
-            E_i = bd_apply(ps2xy, E_i)
+            ]).astype(self._rdtype)
+            ps2xy = (ps2xy_re, jnp.zeros_like(ps2xy_re))
+            E_i = bdp_apply(ps2xy, E_i)
 
-        self.E_i = E_i.reshape(-1, 1)
+        self.E_i_pair = (E_i[0].reshape(-1, 1), E_i[1].reshape(-1, 1))
+
+    @property
+    def E_i(self):
+        """Incident Fourier amplitude vector, at the output convention."""
+        return self._out(self.E_i_pair)
 
     # -- field reconstruction ----------------------------------------------
 
@@ -565,34 +673,39 @@ class rcwa:
 
     def _kvectors(self):
         """k-vector grids, free-space V matrix and cladding interface
-        S-matrices (rcwa.py:1124-1181)."""
+        S-matrices (rcwa.py:1124-1181), all cpairs/bdps."""
         if self.angle_layer == 'input':
-            n_med = jnp.real(jnp.sqrt(self.eps_in * self.mu_in))
+            n_med = csqrt(cmul(self.eps_in, self.mu_in))[0]
         else:
-            n_med = jnp.real(jnp.sqrt(self.eps_out * self.mu_out))
-        self.kx0_norm = n_med * jnp.sin(self.inc_ang) * jnp.cos(self.azi_ang)
-        self.ky0_norm = n_med * jnp.sin(self.inc_ang) * jnp.sin(self.azi_ang)
+            n_med = csqrt(cmul(self.eps_out, self.mu_out))[0]
+        n_med = (n_med, jnp.zeros_like(n_med))
+        kx0 = cmul(n_med, cmul(csin(self.inc_ang), ccos(self.azi_ang)))
+        ky0 = cmul(n_med, cmul(csin(self.inc_ang), csin(self.azi_ang)))
+        self.kx0_norm = kx0
+        self.ky0_norm = ky0
 
-        ox = jnp.asarray(self.order_x, self._dtype)
-        oy = jnp.asarray(self.order_y, self._dtype)
-        self.kx_norm = self.kx0_norm + ox * self.Gx_norm
-        self.ky_norm = self.ky0_norm + oy * self.Gy_norm
-        kxg, kyg = jnp.meshgrid(self.kx_norm, self.ky_norm, indexing='ij')
-        self.Kx_norm_dn = kxg.reshape(-1)
-        self.Ky_norm_dn = kyg.reshape(-1)
+        ox = jnp.asarray(self.order_x, self._rdtype)
+        oy = jnp.asarray(self.order_y, self._rdtype)
+        kx = (kx0[0] + ox * self.Gx_norm, kx0[1] + jnp.zeros_like(ox))
+        ky = (ky0[0] + oy * self.Gy_norm, ky0[1] + jnp.zeros_like(oy))
+        kxg_r, kyg_r = jnp.meshgrid(kx[0], ky[0], indexing='ij')
+        kxg_i, kyg_i = jnp.meshgrid(kx[1], ky[1], indexing='ij')
+        self.Kx_norm_dn = (kxg_r.reshape(-1), kxg_i.reshape(-1))
+        self.Ky_norm_dn = (kyg_r.reshape(-1), kyg_i.reshape(-1))
 
-        kz_f = core.kz_conj_branch(jnp.asarray(1., self._dtype),
-                                   self.Kx_norm_dn, self.Ky_norm_dn)
+        one = self._p(1.)
+        kz_f = core.kz_conj_branch(one, self.Kx_norm_dn, self.Ky_norm_dn)
         self.Vf = core.vmat(self.Kx_norm_dn, self.Ky_norm_dn, kz_f)
+        self.Vf_inv = bdp_inv(self.Vf)
 
         if self._has_input_layer:
-            kz_i = core.kz_conj_branch(self.eps_in * self.mu_in,
+            kz_i = core.kz_conj_branch(cmul(self.eps_in, self.mu_in),
                                        self.Kx_norm_dn, self.Ky_norm_dn)
             self.Vi = core.vmat(self.Kx_norm_dn, self.Ky_norm_dn, kz_i)
             self.Sin = core.interface_smatrix_in(self.Vf, self.Vi)
 
         if self._has_output_layer:
-            kz_o = core.kz_conj_branch(self.eps_out * self.mu_out,
+            kz_o = core.kz_conj_branch(cmul(self.eps_out, self.mu_out),
                                        self.Kx_norm_dn, self.Ky_norm_dn)
             self.Vo = core.vmat(self.Kx_norm_dn, self.Ky_norm_dn, kz_o)
             self.Sout = core.interface_smatrix_out(self.Vf, self.Vo)
