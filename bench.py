@@ -11,8 +11,10 @@ Prints one JSON line:
   {"metric": ..., "value": <s per solve>, "unit": "s/solve",
    "vs_baseline": <baseline_per_solve / ours_per_solve>}  (>1 == faster)
 
-Env knobs: BENCH_ORDER (default 4) harmonic order per axis; BENCH_NLAM
-(default 16) sweep size; BENCH_GRID (default 256) raster resolution.
+Env knobs: BENCH_ORDER (default 6) harmonic order per axis; BENCH_NLAM
+(default 8) sweep size; BENCH_GRID (default 256) raster resolution;
+BENCH_STAGES=1 prints a per-stage breakdown (conv / eig / rest) to stderr
+via utils.timing.StageTimer.
 """
 
 import json
@@ -77,7 +79,80 @@ def measure_ours():
     checksum = float(jnp.sum(grad))
     dt = time.time() - t0
     assert np.isfinite(float(val)) and np.isfinite(checksum)
+
+    if os.environ.get('BENCH_STAGES') == '1':
+        _stage_breakdown(spec, eps, freqs, rdtype, dt)
     return dt / N_LAM
+
+
+def _stage_breakdown(spec, eps, freqs, rdtype, full_dt):
+    """Forward-path per-stage timing (conv / eig / smatrix+fold+sparam),
+    printed to stderr.  Stages are jitted prefixes of the pipeline; the
+    per-stage cost is the delta between successive prefixes — sound under
+    XLA fusion, where mid-pipeline values cannot be timed in isolation."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from torcwa_tpu.fmm import (dft_conv_pair, pq_pair, kvectors_real,
+                                simulate_txx)
+    from torcwa_tpu.ops.eig import eig_pair
+    from torcwa_tpu.utils import StageTimer
+
+    t = StageTimer()
+    zero = jnp.asarray(0., rdtype)
+    kx, ky = kvectors_real(freqs[0], zero, zero,
+                           jnp.asarray(1.46, rdtype), spec.order, spec.L,
+                           rdtype)
+
+    @jax.jit
+    def conv_only(er):
+        return jax.vmap(lambda f: dft_conv_pair(
+            (er, jnp.zeros_like(er)), spec.order, er.shape[0],
+            er.shape[1]))(freqs * 0 + 1.)  # one conv per sweep point
+
+    @jax.jit
+    def conv_eig(er):
+        with jax.default_matmul_precision('highest'):
+            c = dft_conv_pair((er, jnp.zeros_like(er)), spec.order,
+                              er.shape[0], er.shape[1])
+            def one(freq):
+                P, Q = pq_pair(c, kx / freq * freqs[0], ky / freq * freqs[0])
+                from torcwa_tpu.ops import cplx
+                A = cplx.cmm(P, Q)
+                return eig_pair(A[0], A[1], 'auto', 'qr')[0]
+            return jax.vmap(one)(freqs)
+
+    @jax.jit
+    def full_fwd(er):
+        return jax.vmap(lambda f: simulate_txx(
+            spec, f, er, jnp.zeros_like(er), jnp.asarray(600., rdtype),
+            jnp.asarray(1.46 ** 2, rdtype), eig_backend='qr'))(freqs)
+
+    # best-of-3 per stage (perturbed inputs defeat the tunnel's result
+    # cache; the ~27ms/call dispatch overhead makes single samples noisy)
+    best = {}
+    for fn, name in [(conv_only, 'conv'), (conv_eig, 'conv+eig'),
+                     (full_fwd, 'fwd_total')]:
+        out = fn(eps * 1.0005)                       # compile
+        jax.tree.map(lambda x: float(jnp.sum(x)), out)
+        prev = 0.
+        for rep in range(3):
+            # materialized checksum as the device barrier
+            # (block_until_ready is unreliable on the tunnel runtime)
+            with t(name):
+                out = fn(eps * (1. + 1e-4 * (rep + 1)))
+                jax.tree.map(lambda x: float(jnp.sum(x)), out)
+            best[name] = min(best.get(name, np.inf), t.totals[name] - prev)
+            prev = t.totals[name]
+
+    conv = best['conv']
+    eig_t = max(best['conv+eig'] - conv, 0.)
+    rest = max(best['fwd_total'] - best['conv+eig'], 0.)
+    print(f'# stage breakdown (fwd, whole sweep, best of 3): '
+          f'conv={conv:.3f}s eig={eig_t:.3f}s '
+          f'smatrix+fold+sparam={rest:.3f}s; '
+          f'fwd_total={best["fwd_total"]:.3f}s '
+          f'fwd+grad={full_dt:.3f}s', file=sys.stderr)
 
 
 def measure_reference(n_solves=4):

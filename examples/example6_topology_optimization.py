@@ -1,71 +1,155 @@
-"""Example 6 — topology optimization of first-order diffraction
-(reference example/Example6.ipynb).
+"""Example 6 — topology optimization: maximize 1st-order diffraction
+(reference example/Example6.ipynb, exact configuration).
 
-A free-form density rho on the unit cell is blurred (fabrication radius),
-tanh-projected toward binary, mapped to permittivity, and optimized to
-maximize the (+1, 0) transmitted order.  Gradients flow through the
-whole solve including the stabilized eig backward; ADAM + projection
-schedule mirror the notebook.
+700x300 nm cell, a-Si:H at 532 nm, order [15,8] (2N = 1054), FoM =
+sum over polarizations of |t(1,0)|^2, 800 ADAM iterations with the
+notebook's cosine learning-rate schedule (0.02 -> 0), exponential
+binarization schedule (beta -> 1000), 20 nm Gaussian blur, y-mirror
+symmetrization, clamping to [0, 1].  Reference outcome: FoM -> 1.1746
+(Example6.ipynb cell 2, seed 333), ~1.98 s/iter on the reference GPU.
+
+Deviation from the notebook: the density initialization uses JAX's PRNG
+(seed 333) rather than torch's — same distribution, different stream, so
+trajectories are not bitwise comparable; the converged FoM is the parity
+target.  The Gaussian blur is a separable circulant matmul pair instead
+of the notebook's fftshift/fft2 chain — mathematically identical circular
+convolution, and it avoids complex FFT arrays, which this TPU runtime
+cannot hold.
+
+EX6_ITERS controls the iteration count (default 10 smoke; 800 = parity).
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
-
-import os
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-import torcwa_tpu as tt
 from torcwa_tpu.fmm import StackSpec, solve_stack_pair, sparam_xy_pair
-from torcwa_tpu.optim import (adam_init, adam_update, gaussian_blur,
-                              tanh_projection)
+from torcwa_tpu.utils import save_state, load_state
 
-L = (1400., 700.)   # period > lambda so the +1 order propagates
-ORDER = (5, 2)
-NX, NY = 140, 70
-ITERS = int(os.environ.get('EX6_ITERS', '30'))
-rdtype = jnp.float32
-EPS_HI = 3.48 ** 2
+LAMB0 = 532.
+L = (700., 300.)
+NX, NY = 700, 300
+THICK = 300.
+ORDER = (15, 8)
+SUB_EPS = 1.46 ** 2
+BLUR_RADIUS = 20.
+ITERS = int(os.environ.get('EX6_ITERS', '10'))
+CKPT = os.environ.get('EX6_CKPT', 'example6_state.npz')
+RDTYPE = jnp.float32
+
+
+def _si_eps_host(lamb0):
+    data = np.loadtxt('/root/reference/example/Materials_data/aSiH.txt')
+    from scipy.interpolate import interp1d
+    lam = np.float32(lamb0)
+    nk = (interp1d(data[:, 0], data[:, 1], kind='cubic')(lam)
+          + 1j * interp1d(data[:, 0], data[:, 2], kind='cubic')(lam))
+    return complex(nk) ** 2
+
+
+_si = _si_eps_host(LAMB0)
+SI_RE = jnp.asarray(_si.real, RDTYPE)
+SI_IM = jnp.asarray(_si.imag, RDTYPE)
+SPEC = StackSpec(order=ORDER, L=L, n_layers=1, has_input=True)
+
+
+def _blur_matrices():
+    """Separable circulant factors of the notebook's periodic Gaussian
+    blur (Example6.ipynb cell 2): blur(rho) = Bx @ rho @ By^T is the
+    circular convolution with the centered kernel
+    g = exp(-(x^2+y^2)/r^2) / sum(g)."""
+    def circ(n, d):
+        x = (np.arange(n) - (n - 1) / 2) * d
+        gx = np.exp(-x ** 2 / BLUR_RADIUS ** 2)
+        gx /= gx.sum()
+        k = np.fft.ifftshift(gx)
+        idx = (np.arange(n)[:, None] - np.arange(n)[None, :]) % n
+        return jnp.asarray(k[idx], RDTYPE)
+    return circ(NX, L[0] / NX), circ(NY, L[1] / NY)
+
+
+BX, BY = _blur_matrices()
 
 
 def fom(rho, beta):
-    rho_f = gaussian_blur(rho, sigma_cells=2.0)
-    rho_p = tanh_projection(rho_f, beta)
-    er = 1. + rho_p * (EPS_HI - 1.)
-    spec = StackSpec(order=ORDER, L=L, n_layers=1, has_input=True)
+    """Blur -> tanh projection -> RCWA -> first-order transmission sum
+    (Example6.ipynb cells 1-2)."""
+    rho_bar = BX @ rho @ BY.T
+    rho_tilda = 0.5 + jnp.tanh(2. * beta * rho_bar - beta) / (
+        2. * jnp.tanh(beta))
+    eps_r = rho_tilda * SI_RE + (1. - rho_tilda)
+    eps_i = rho_tilda * SI_IM
+    zero = jnp.asarray(0., RDTYPE)
     S, intr = solve_stack_pair(
-        spec, jnp.asarray(1 / 1050., rdtype), jnp.asarray(0., rdtype),
-        jnp.asarray(0., rdtype), (er[None], jnp.zeros_like(er)[None]),
-        jnp.asarray([325.], rdtype),
-        eps_in=(jnp.asarray(1.46 ** 2, rdtype), jnp.asarray(0., rdtype)))
-    one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
-    tr, ti = sparam_xy_pair(S, intr['kx'], intr['ky'],
-                            (jnp.asarray(1.46 ** 2, rdtype),
-                             jnp.asarray(0., rdtype)), one,
-                            ORDER, [1, 0], [0, 0], 'xx')
-    return (tr ** 2 + ti ** 2)[0]
+        SPEC, jnp.asarray(1. / LAMB0, RDTYPE), zero, zero,
+        (eps_r[None], eps_i[None]), jnp.asarray([THICK], RDTYPE),
+        eps_in=(jnp.asarray(SUB_EPS, RDTYPE), zero))
+    sub = (jnp.asarray(SUB_EPS, RDTYPE), zero)
+    one = (jnp.asarray(1., RDTYPE), zero)
+    total = 0.
+    for pol in ('xx', 'yy', 'xy', 'yx'):
+        tr, ti = sparam_xy_pair(S, intr['kx'], intr['ky'], sub, one, ORDER,
+                                [1, 0], [0, 0], pol)
+        total = total + (tr ** 2 + ti ** 2)[0]
+    return total
+
+
+def main():
+    iter_max = 800
+    beta_sched = np.exp(np.arange(iter_max) * np.log(1000.) / iter_max)
+    lr_sched = 0.02 * 0.5 * (1. + np.cos(np.arange(iter_max)
+                                         * np.pi / iter_max))
+    beta1, beta2, epsilon = 0.9, 0.999, 1e-8
+
+    if os.path.exists(CKPT):
+        st = load_state(CKPT)
+        rho, m, v, it0 = st['rho'], st['m'], st['v'], int(st['step'])
+        history = [float(h) for h in np.asarray(st['history'])]
+        print(f'resumed from {CKPT} at iteration {it0}')
+    else:
+        key = jax.random.PRNGKey(333)
+        rho = jax.random.uniform(key, (NX, NY), RDTYPE)
+        rho = (rho + jnp.flip(rho, axis=1)) / 2.
+        rho = BX @ rho @ BY.T
+        m = jnp.zeros_like(rho)
+        v = jnp.zeros_like(rho)
+        it0 = 0
+        history = []
+
+    vg = jax.jit(jax.value_and_grad(fom))
+
+    @jax.jit
+    def update(rho, g, m, v, it, lr):
+        m = beta1 * m + (1 - beta1) * g
+        v = beta2 * v + (1 - beta2) * g * g
+        rho = rho + lr * (m / (1 - beta1 ** (it + 1))) / jnp.sqrt(
+            v / (1 - beta2 ** (it + 1)) + epsilon)
+        rho = jnp.clip(rho, 0., 1.)
+        rho = (rho + jnp.flip(rho, axis=1)) / 2.
+        return rho, m, v
+
+    t0 = time.time()
+    for it in range(it0, ITERS):
+        f, g = vg(rho, jnp.asarray(beta_sched[it], RDTYPE))
+        rho, m, v = update(rho, g, m, v, it,
+                           jnp.asarray(lr_sched[it], RDTYPE))
+        fv = float(f)
+        history.append(fv)
+        print(f'Iteration: {it} / FoM: {fv:.4f} / '
+              f'Elapsed time: {time.time() - t0:.0f} s', flush=True)
+        if (it + 1) % 25 == 0 or it + 1 == ITERS:
+            save_state(CKPT, {'rho': rho, 'm': m, 'v': v, 'step': it + 1,
+                              'history': jnp.asarray(history)})
+    n_it = max(ITERS - it0, 1)
+    print(f'final FoM {history[-1]:.4f}  '
+          f'({(time.time() - t0) / n_it:.2f} s/iter)')
 
 
 if __name__ == '__main__':
-    key = jax.random.PRNGKey(333)          # reference seeds its runs too
-    rho = 0.5 + 0.01 * jax.random.normal(key, (NX, NY), rdtype)
-    # mirror symmetry like the notebook
-    rho = (rho + rho[:, ::-1]) / 2
-    m, v, step = adam_init(rho)
-    vg = jax.jit(jax.value_and_grad(fom), static_argnames=())
-
-    t0 = time.time()
-    for it in range(ITERS):
-        beta = jnp.asarray(1. + 9. * it / max(ITERS - 1, 1), rdtype)
-        f, g = vg(rho, beta)
-        rho, m, v, step = adam_update(rho, -g, m, v, step, lr=0.05)
-        rho = (rho + rho[:, ::-1]) / 2
-        if it % 5 == 0 or it == ITERS - 1:
-            print(f'iter {it:3d}: FoM = {float(f):.5f}  beta={float(beta):.1f}'
-                  f'  ({(time.time()-t0)/(it+1):.2f} s/iter)', flush=True)
-    print(f'final FoM {float(f):.5f} on {jax.default_backend()}')
+    main()

@@ -313,7 +313,7 @@ def schur_qr_pallas(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
 
 
 def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
-                hr_ref, hi_ref, ztr_ref, zti_ref, wr_ref, wi_ref,
+                hr_ref, hi_ref, ztr_ref, zti_ref, wr_ref, wi_ref, stat_ref,
                 *, max_iters: int, n: int, b: int):
     # explicit copy-in: input_output_aliases miscompiles when several
     # aliased pallas calls (batch chunks) share one jit program here
@@ -527,11 +527,19 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         return jnp.any(hi > 0) & (it < max_iters)
 
     hi0 = jnp.full((b, 1, 1), n - 1, jnp.int32)
-    lax.while_loop(cond, body, (hi0, jnp.int32(0)))
+    hi_f, it_f = lax.while_loop(cond, body, (hi0, jnp.int32(0)))
 
     lower = rows > cols
     hr_ref[:] = jnp.where(lower, 0., hr_ref[:])
     hi_ref[:] = jnp.where(lower, 0., hi_ref[:])
+    # Convergence status per lane (the zgeev-INFO analogue): sublane 0 is
+    # the final un-deflated window top (0 == converged), sublane 1 the
+    # sweep count actually used.
+    sub = lax.broadcasted_iota(jnp.int32, (b, 2, n), 1)
+    stat_ref[:] = jnp.where(sub == 0,
+                            jnp.broadcast_to(hi_f.astype(jnp.float32),
+                                             (b, 2, n)),
+                            it_f.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=('max_iter_factor', 'interpret'))
@@ -541,21 +549,30 @@ def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
                              n=n, b=b)
     out = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((b, n, n), Hr.dtype)] * 6,
+        out_shape=([jax.ShapeDtypeStruct((b, n, n), Hr.dtype)] * 6
+                   + [jax.ShapeDtypeStruct((b, 2, n), jnp.float32)]),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(Hr, Hi, ZTr, ZTi)
-    return out[:4]
+    return out[:4] + (out[6],)
 
 
-def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
+def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False,
+                        return_stats=False):
     """Batched deferred-column Schur QR: [B, n, n] pairs -> Schur.
 
     O(B n) VPU work per rotation + two MXU matmuls per sweep; W scratch
     lives in VMEM (6 resident arrays per chunk).
+
+    Non-convergence surfaces instead of returning silent garbage: lanes
+    whose iteration budget ran out with an un-deflated window get their
+    Schur diagonal (the eigenvalues) poisoned with NaN — the analogue of
+    LAPACK zgeev's nonzero INFO, which the reference would raise on.
+    With ``return_stats=True`` also returns (final_window_top, sweeps)
+    per lane, each [B] (window top 0 == converged).
     """
     b, n = Hr.shape[0], Hr.shape[-1]
     # measured VMEM footprint: ~40 (n,n)-array equivalents per batch lane
@@ -569,9 +586,18 @@ def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
         e = min(s + chunk, b)
         outs.append(_call_acc(Hr[s:e], Hi[s:e], ZTr[s:e], ZTi[s:e],
                               max_iter_factor, interpret))
-    Tr, Ti, Zr, Zi = [jnp.concatenate([o[i] for o in outs], axis=0)
-                      for i in range(4)]
-    return Tr, Ti, jnp.swapaxes(Zr, -2, -1), jnp.swapaxes(Zi, -2, -1)
+    Tr, Ti, Zr, Zi, stat = [jnp.concatenate([o[i] for o in outs], axis=0)
+                            for i in range(5)]
+    hi_f = stat[:, 0, 0]
+    sweeps = stat[:, 1, 0]
+    bad = (hi_f > 0)[:, None, None]
+    eye = jnp.eye(n, dtype=bool)[None]
+    Tr = jnp.where(bad & eye, jnp.nan, Tr)
+    Ti = jnp.where(bad & eye, jnp.nan, Ti)
+    out = (Tr, Ti, jnp.swapaxes(Zr, -2, -1), jnp.swapaxes(Zi, -2, -1))
+    if return_stats:
+        return out + ((hi_f.astype(jnp.int32), sweeps.astype(jnp.int32)),)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -587,8 +613,7 @@ def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
 # per step; here the n-step recurrence runs in-kernel (measured ~50x).
 
 
-def _kernel_vec(tr_in, ti_in, ztr_in, zti_in,
-                vr_ref, vi_ref, yr_ref, yi_ref, *, n: int, b: int):
+def _kernel_vec(tr_in, ti_in, yr_ref, yi_ref, *, n: int, b: int):
     rows = lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
     cols = lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     iota_n = lax.broadcasted_iota(jnp.int32, (b, 1, n), 2)
@@ -599,21 +624,15 @@ def _kernel_vec(tr_in, ti_in, ztr_in, zti_in,
     mdiag = rows == cols
     lr = jnp.sum(jnp.where(mdiag, Tr, 0.), axis=1, keepdims=True)
     li = jnp.sum(jnp.where(mdiag, Ti, 0.), axis=1, keepdims=True)
-    # pivoted denominators D[j, m] = T[j,j] - lambda_m with LAPACK-style
-    # small-pivot floor (mirrors eig_qr_real.eig_tri_vectors_real)
+    # small-pivot floor per column m (LAPACK-style, mirrors
+    # eig_qr_real.eig_tri_vectors_real); the (b,n,n) denominator matrix is
+    # NOT materialized — row j's denominators are built inside the step,
+    # which keeps the kernel's resident VMEM to the 8 refs (the full-matrix
+    # variant ran out of VMEM at n ~ 1050)
     tnorm = jnp.max(jnp.sum(jnp.sqrt(Tr * Tr + Ti * Ti), axis=1,
                             keepdims=True), axis=2, keepdims=True)
-    dr = jnp.swapaxes(lr, 1, 2) - lr          # (b,n,n): row j, col m
-    di = jnp.swapaxes(li, 1, 2) - li
     lmag = jnp.sqrt(lr * lr + li * li)        # |lambda_m| per column
     dmin = jnp.maximum(_F32EPS * jnp.maximum(lmag, tnorm), _SMLNUM)
-    dabs = jnp.sqrt(dr * dr + di * di)
-    small = dabs < dmin
-    scale = jnp.where(small & (dabs > 0),
-                      dmin / jnp.where(dabs > 0, dabs, 1.), 1.)
-    dr = jnp.where(small & (dabs == 0), dmin, dr * scale)
-    di = jnp.where(small & (dabs == 0), 0., di * scale)
-    dden = dr * dr + di * di
 
     # Y starts as the identity (y[m,m] = 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -635,11 +654,21 @@ def _kernel_vec(tr_in, ti_in, ztr_in, zti_in,
         tcol_i = jnp.swapaxes(trow_i, 1, 2)
         s_r = jnp.sum(tcol_r * Yr - tcol_i * Yi, axis=1, keepdims=True)
         s_i = jnp.sum(tcol_r * Yi + tcol_i * Yr, axis=1, keepdims=True)
-        # y[j, m] = -s / D[j, m] for m > j
-        drow_r = jnp.sum(jnp.where(rows == j, dr, 0.), axis=1, keepdims=True)
-        drow_i = jnp.sum(jnp.where(rows == j, di, 0.), axis=1, keepdims=True)
+        # pivoted denominators for row j: D[j, m] = lambda_j - lambda_m,
+        # floored at dmin (all (b,1,n) work)
+        ljr = jnp.sum(jnp.where(iota_n == j, lr, 0.), axis=2, keepdims=True)
+        lji = jnp.sum(jnp.where(iota_n == j, li, 0.), axis=2, keepdims=True)
+        drow_r = ljr - lr
+        drow_i = lji - li
+        dabs = jnp.sqrt(drow_r * drow_r + drow_i * drow_i)
+        small = dabs < dmin
+        scl = jnp.where(small & (dabs > 0),
+                        dmin / jnp.where(dabs > 0, dabs, 1.), 1.)
+        drow_r = jnp.where(small & (dabs == 0), dmin, drow_r * scl)
+        drow_i = jnp.where(small & (dabs == 0), 0., drow_i * scl)
         dden_j = drow_r * drow_r + drow_i * drow_i
         dden_j = jnp.where(dden_j > 0, dden_j, 1.)
+        # y[j, m] = -s / D[j, m] for m > j
         q_r = -(s_r * drow_r + s_i * drow_i) / dden_j
         q_i = -(s_i * drow_r - s_r * drow_i) / dden_j
         keep = (iota_n > j).astype(jnp.float32)
@@ -651,54 +680,46 @@ def _kernel_vec(tr_in, ti_in, ztr_in, zti_in,
 
     lax.fori_loop(0, n - 1, step, 0)
 
-    # V = Z @ Y, then column-normalize
-    Zr = ztr_in[:]
-    Zi = zti_in[:]
-    Yr = yr_ref[:]
-    Yi = yi_ref[:]
-    dn_m = (((2,), (1,)), ((0,), (0,)))
-    prec = lax.Precision.HIGHEST
-    Vr = (lax.dot_general(Zr, Yr, dn_m, precision=prec,
-                          preferred_element_type=jnp.float32)
-          - lax.dot_general(Zi, Yi, dn_m, precision=prec,
-                            preferred_element_type=jnp.float32))
-    Vi = (lax.dot_general(Zr, Yi, dn_m, precision=prec,
-                          preferred_element_type=jnp.float32)
-          + lax.dot_general(Zi, Yr, dn_m, precision=prec,
-                            preferred_element_type=jnp.float32))
-    nrm = jnp.sqrt(jnp.sum(Vr * Vr + Vi * Vi, axis=1, keepdims=True))
-    nrm = jnp.where(nrm > 0, nrm, 1.)
-    vr_ref[:] = Vr / nrm
-    vi_ref[:] = Vi / nrm
-
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def _call_vec(Tr, Ti, Zr, Zi, interpret):
+def _call_vec(Tr, Ti, interpret):
     b, n = Tr.shape[0], Tr.shape[-1]
     kern = functools.partial(_kernel_vec, n=n, b=b)
     out = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((b, n, n), Tr.dtype)] * 4,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), Tr.dtype)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(Tr, Ti, Zr, Zi)
-    return out[:2]
+    )(Tr, Ti)
+    return out
 
 
 def eig_tri_vectors_pallas(Tr, Ti, Zr, Zi, interpret=False):
-    """Batched eigenvectors from Schur factors: [B, n, n] -> (Vr, Vi)."""
+    """Batched eigenvectors from Schur factors: [B, n, n] -> (Vr, Vi).
+
+    The triangular back-substitution recurrence runs in-kernel (measured
+    ~50x over the XLA-loop twin); the final V = Z @ Y product and column
+    normalization run as plain XLA matmuls OUTSIDE the kernel — XLA tiles
+    them through HBM, which keeps the kernel's VMEM footprint to the
+    4 (b,n,n) refs and lifts the previous n ~ 1050 VMEM ceiling."""
     b, n = Tr.shape[0], Tr.shape[-1]
-    per = 48 * n * n * np.dtype(Tr.dtype).itemsize
+    per = 12 * n * n * np.dtype(Tr.dtype).itemsize
     chunk = max(1, min(b, _VMEM_BUDGET // per))
     outs = []
     for s in range(0, b, chunk):
         e = min(s + chunk, b)
-        outs.append(_call_vec(Tr[s:e], Ti[s:e], Zr[s:e], Zi[s:e], interpret))
-    return (jnp.concatenate([o[0] for o in outs], axis=0),
-            jnp.concatenate([o[1] for o in outs], axis=0))
+        outs.append(_call_vec(Tr[s:e], Ti[s:e], interpret))
+    Yr = jnp.concatenate([o[0] for o in outs], axis=0)
+    Yi = jnp.concatenate([o[1] for o in outs], axis=0)
+    with jax.default_matmul_precision('highest'):
+        Vr = Zr @ Yr - Zi @ Yi
+        Vi = Zr @ Yi + Zi @ Yr
+    nrm = jnp.sqrt(jnp.sum(Vr * Vr + Vi * Vi, axis=-2, keepdims=True))
+    nrm = jnp.where(nrm > 0, nrm, 1.)
+    return Vr / nrm, Vi / nrm
 
 
 # ---------------------------------------------------------------------------

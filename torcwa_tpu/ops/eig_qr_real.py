@@ -297,11 +297,19 @@ def schur_qr_real(Hr, Hi, Qr, Qi, max_iter_factor=40):
         Hr, Hi, Zr, Zi = sweep(Hr, Hi, Zr, Zi, lo, hi, sgr, sgi)
         return (Hr, Hi, Zr, Zi, hi, it + 1)
 
-    Hr, Hi, Zr, Zi, _, _ = lax.while_loop(
+    Hr, Hi, Zr, Zi, hi_final, _ = lax.while_loop(
         cond, body, (Hr, Hi, Qr, Qi, n - 1, 0))
     lower = idx[:, None] > idx[None, :]
     Hr = jnp.where(lower, 0., Hr)
     Hi = jnp.where(lower, 0., Hi)
+    # Non-convergence surfaces instead of returning silent garbage: if the
+    # iteration budget ran out with an un-deflated window (hi_final > 0),
+    # poison the diagonal (the eigenvalues) with NaN — the analogue of
+    # LAPACK zgeev's nonzero INFO, which the reference would raise on.
+    bad = hi_final > 0
+    diag = idx[:, None] == idx[None, :]
+    Hr = jnp.where(bad & diag, jnp.nan, Hr)
+    Hi = jnp.where(bad & diag, jnp.nan, Hi)
     return Hr, Hi, Zr, Zi
 
 

@@ -7,12 +7,15 @@ Here they are library functions — pure, jittable, differentiable.
 """
 
 import functools
+import time
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['adam_init', 'adam_update', 'gaussian_blur', 'tanh_projection']
+__all__ = ['adam_init', 'adam_update', 'gaussian_blur', 'tanh_projection',
+           'IterationRecord', 'maximize_adam']
 
 
 def adam_init(rho):
@@ -36,6 +39,64 @@ def adam_update(rho, grad, m, v, step, lr=0.02, beta1=0.9, beta2=0.999,
             r - lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps), lower, upper),
         rho, m, v)
     return rho, m, v, step
+
+
+class IterationRecord(NamedTuple):
+    """Structured per-iteration metrics for optimization loops.
+
+    Replaces the reference notebooks' ad-hoc ``print`` telemetry
+    (Example5/6 cell 2) with a record a callback can log, plot, or stream
+    (SURVEY §5 metrics/observability item)."""
+    step: int
+    fom: float
+    grad_norm: float
+    elapsed_s: float
+    params: object          # current parameter pytree (post-update)
+
+
+def maximize_adam(fom_fn, params0, n_iters, *, lr=0.02, beta1=0.9,
+                  beta2=0.999, eps=1e-8, lower=0., upper=1.,
+                  lr_schedule=None, callback=None, post_update=None,
+                  state=None):
+    """Gradient-ascent ADAM loop with structured per-iteration metrics.
+
+    Mirrors the reference's hand-rolled notebook loops (Example5 cell 2,
+    Example6 cell 2): value-and-grad of ``fom_fn``, bias-corrected ADAM
+    ascent, clamping to [lower, upper], optional per-iteration learning
+    rate (``lr_schedule(it) -> lr``, e.g. Example5's linear decay or
+    Example6's cosine), and an optional ``post_update(params, it)`` hook
+    (e.g. Example6's mirror symmetrization).  ``callback(IterationRecord)``
+    fires every iteration.  ``state`` resumes from (params, m, v, step).
+
+    Returns (params, (m, v, step), history) with history the list of
+    (fom, grad_norm) per iteration.
+    """
+    if state is not None:
+        params, m, v, step = state
+    else:
+        params = params0
+        m, v, step = adam_init(params0)
+
+    vg = jax.value_and_grad(fom_fn)
+    history = []
+    t0 = time.time()
+    for it in range(n_iters):
+        f, g = vg(params)
+        lr_t = lr_schedule(step) if lr_schedule is not None else lr
+        # ascend: ADAM on the negated gradient
+        params, m, v, step = adam_update(
+            params, jax.tree.map(jnp.negative, g), m, v, step, lr=lr_t,
+            beta1=beta1, beta2=beta2, eps=eps, lower=lower, upper=upper)
+        if post_update is not None:
+            params = post_update(params, step)
+        gn = float(jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g))))
+        fom = float(f)
+        history.append((fom, gn))
+        if callback is not None:
+            callback(IterationRecord(step=step, fom=fom, grad_norm=gn,
+                                     elapsed_s=time.time() - t0,
+                                     params=params))
+    return params, (m, v, step), history
 
 
 def gaussian_blur(rho, sigma_cells):
