@@ -228,6 +228,42 @@ def golden_example1_1():
     print('example1_1 done')
 
 
+
+def golden_magnetic():
+    """Magnetic materials: mu != 1 claddings, a homogeneous mu layer, and a
+    layer with BOTH patterned eps and patterned mu — exercises the full-mu
+    P/Q path (reference rcwa.py:1226-1232) and mu conv matrices
+    (rcwa.py:159-160), which no reference example covers."""
+    L = [300., 300.]
+    order = [3, 3]
+    lamb0 = 620.
+    geom = rect_grid(192, 192, L[0], L[1], Wx=150., Wy=110., theta=0.3)
+    layer_eps = geom * (4.2 + 0.25j) + (1. - geom)
+    layer_mu = geom * (1.8 + 0.05j) + (1. - geom) * 1.1
+    sim = torcwa.rcwa(freq=1 / lamb0, order=order, L=L, dtype=C64, device=DEV)
+    sim.add_input_layer(eps=SUBSTRATE_EPS, mu=1.2)
+    sim.add_output_layer(eps=1.1 ** 2, mu=0.9)
+    sim.set_incident_angle(inc_ang=10. * np.pi / 180, azi_ang=35. * np.pi / 180)
+    sim.add_layer(thickness=180., eps=2.25, mu=1.6)        # homogeneous mu
+    sim.add_layer(thickness=240., eps=layer_eps, mu=layer_mu)
+    sim.solve_global_smatrix()
+    entries = {}
+    orders = [[0, 0], [1, 0], [0, -1], [1, 1]]
+    for pol in ['xx', 'yy', 'xy', 'yx', 'pp', 'ss']:
+        for port, pre in [('transmission', 't'), ('reflection', 'r')]:
+            entries[f'{pre}{pol}'] = t2n(sim.S_parameters(
+                orders=orders, direction='forward', port=port,
+                polarization=pol, ref_order=[0, 0]))
+    sim.source_planewave(amplitude=[1., 0.3], direction='forward')
+    x = torch.linspace(0., L[0], 12)
+    z = torch.linspace(-100., 520., 15)
+    E, H = sim.field_xz(x, z, L[1] / 2)
+    entries['fxz_E'] = np.stack([t2n(c) for c in E])
+    entries['fxz_H'] = np.stack([t2n(c) for c in H])
+    np.savez(os.path.join(OUT, 'magnetic.npz'), **entries)
+    print('magnetic done')
+
+
 def golden_example4():
     """Gradient goldens (Example4 pattern): dT/dR via torch autograd at
     complex128, exact + broadened variants, plus central differences."""
@@ -284,4 +320,5 @@ if __name__ == '__main__':
     golden_example2()
     golden_example1_1()
     golden_example4()
+    golden_magnetic()
     print('all goldens written to', OUT)
