@@ -47,6 +47,10 @@ _SMLNUM = 1e-31
 # for temporaries of the masked updates.
 _VMEM_BUDGET = 96 * 2 ** 20
 
+# row/column chunk for the deferred-column epilogue GEMMs (bounds the
+# kernel's GEMM temporaries to (b, _CHUNK, width) each)
+_CHUNK = 512
+
 
 def _kernel(hr_in, hi_in, ztr_in, zti_in,
             hr_ref, hi_ref, ztr_ref, zti_ref, *, max_iters: int, n: int,
@@ -485,40 +489,47 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         prec = lax.Precision.HIGHEST
 
         def apply_slab(width):
+            # chunked over rows (H) / columns (Z^T) so GEMM temporaries stay
+            # <= (b, _CHUNK, width): the whole-slab version's temporaries
+            # blew the scoped-VMEM limit above n ~ 1000
             def f():
-                Hr = hr_ref[:, :, :width]
-                Hi = hi_ref[:, :, :width]
                 Wr = wr_ref[:, :width, :width]
                 Wi = wi_ref[:, :width, :width]
-                Hr2 = (lax.dot_general(Hr, Wr, dn_t, precision=prec,
-                                       preferred_element_type=jnp.float32)
-                       - lax.dot_general(Hi, Wi, dn_t, precision=prec,
-                                         preferred_element_type=jnp.float32))
-                Hi2 = (lax.dot_general(Hr, Wi, dn_t, precision=prec,
-                                       preferred_element_type=jnp.float32)
-                       + lax.dot_general(Hi, Wr, dn_t, precision=prec,
-                                         preferred_element_type=jnp.float32))
-                # structural Hessenberg enforcement (junk below the
-                # subdiagonal is the deferred representation's roundoff)
-                hm = hess_mask[:, :, :width]
-                hr_ref[:, :, :width] = jnp.where(hm, Hr2, 0.)
-                hi_ref[:, :, :width] = jnp.where(hm, Hi2, 0.)
-                Zr = ztr_ref[:, :width, :]
-                Zi = zti_ref[:, :width, :]
-                Zr2 = (lax.dot_general(Wr, Zr, dn_m, precision=prec,
-                                       preferred_element_type=jnp.float32)
-                       - lax.dot_general(Wi, Zi, dn_m, precision=prec,
-                                         preferred_element_type=jnp.float32))
-                Zi2 = (lax.dot_general(Wr, Zi, dn_m, precision=prec,
-                                       preferred_element_type=jnp.float32)
-                       + lax.dot_general(Wi, Zr, dn_m, precision=prec,
-                                         preferred_element_type=jnp.float32))
-                ztr_ref[:, :width, :] = Zr2
-                zti_ref[:, :width, :] = Zi2
+                for r0 in range(0, n, _CHUNK):
+                    r1 = min(r0 + _CHUNK, n)
+                    Hr = hr_ref[:, r0:r1, :width]
+                    Hi = hi_ref[:, r0:r1, :width]
+                    Hr2 = (lax.dot_general(Hr, Wr, dn_t, precision=prec,
+                                           preferred_element_type=jnp.float32)
+                           - lax.dot_general(Hi, Wi, dn_t, precision=prec,
+                                             preferred_element_type=jnp.float32))
+                    Hi2 = (lax.dot_general(Hr, Wi, dn_t, precision=prec,
+                                           preferred_element_type=jnp.float32)
+                           + lax.dot_general(Hi, Wr, dn_t, precision=prec,
+                                             preferred_element_type=jnp.float32))
+                    # structural Hessenberg enforcement (junk below the
+                    # subdiagonal is the deferred representation's roundoff)
+                    hm = hess_mask[:, r0:r1, :width]
+                    hr_ref[:, r0:r1, :width] = jnp.where(hm, Hr2, 0.)
+                    hi_ref[:, r0:r1, :width] = jnp.where(hm, Hi2, 0.)
+                for c0 in range(0, n, _CHUNK):
+                    c1 = min(c0 + _CHUNK, n)
+                    Zr = ztr_ref[:, :width, c0:c1]
+                    Zi = zti_ref[:, :width, c0:c1]
+                    Zr2 = (lax.dot_general(Wr, Zr, dn_m, precision=prec,
+                                           preferred_element_type=jnp.float32)
+                           - lax.dot_general(Wi, Zi, dn_m, precision=prec,
+                                             preferred_element_type=jnp.float32))
+                    Zi2 = (lax.dot_general(Wr, Zi, dn_m, precision=prec,
+                                           preferred_element_type=jnp.float32)
+                           + lax.dot_general(Wi, Zr, dn_m, precision=prec,
+                                             preferred_element_type=jnp.float32))
+                    ztr_ref[:, :width, c0:c1] = Zr2
+                    zti_ref[:, :width, c0:c1] = Zi2
             return f
 
-        widths = [min(128 * (i + 1), n) for i in range((n + 127) // 128)]
-        branch = jnp.minimum((hi_max + 2) // 128, len(widths) - 1)
+        widths = [min(256 * (i + 1), n) for i in range((n + 255) // 256)]
+        branch = jnp.minimum((hi_max + 2) // 256, len(widths) - 1)
         lax.switch(branch, [apply_slab(w) for w in widths])
         return (hi, it + 1)
 

@@ -28,6 +28,12 @@ from jax import lax
 
 __all__ = ['eig_qr_real', 'eig_qr_split']
 
+# Single-matrix solves at n >= this use the multishift Schur kernel
+# (eig_qr_pallas_ms); smaller/batched solves use the batched single-shift
+# kernel where the batch already amortizes the per-step overhead.
+_MS_MIN_N = 512
+_MS_SHIFTS = 8
+
 
 def _consts(rdtype):
     if np.dtype(rdtype) == np.dtype(np.float32):
@@ -390,6 +396,19 @@ def _eig_real_single(Ar, Ai):
             # XLA-loop QR: fine on CPU, ~25us/rotation on the TPU runtime
             Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
         else:
+            n = Hr.shape[-1]
+            if n >= _MS_MIN_N:
+                # single-matrix large-n path: multishift kernel (m bulges
+                # per sweep amortize the deferred-column GEMMs)
+                from .eig_qr_pallas import eig_tri_vectors_pallas
+                from .eig_qr_pallas_ms import schur_qr_pallas_ms
+                Tr, Ti, Zr, Zi = schur_qr_pallas_ms(Hr, Hi, Qr, Qi,
+                                                    m=_MS_SHIFTS)
+                wr = jnp.diagonal(Tr)
+                wi = jnp.diagonal(Ti)
+                Vr, Vi = eig_tri_vectors_pallas(Tr[None], Ti[None],
+                                                Zr[None], Zi[None])
+                return wr, wi, Vr[0], Vi[0]
             # single matrix = batch of 1 through the batched kernels
             from .eig_qr_pallas import (schur_qr_pallas_acc,
                                         eig_tri_vectors_pallas)
