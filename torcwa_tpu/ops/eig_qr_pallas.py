@@ -565,7 +565,7 @@ def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=114 * 2 ** 20),
         interpret=interpret,
     )(Hr, Hi, ZTr, ZTi)
     return out[:4] + (out[6],)
@@ -702,7 +702,7 @@ def _call_vec(Tr, Ti, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=114 * 2 ** 20),
         interpret=interpret,
     )(Tr, Ti)
     return out
@@ -850,7 +850,7 @@ def _call_hess(Ar, Ai, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=114 * 2 ** 20),
         interpret=interpret,
     )(Ar, Ai)
 

@@ -347,7 +347,13 @@ def _kernel_ms(hr_in, hi_in, ztr_in, zti_in,
         def step(t, carry):
             xr_v, xi_v, yr_v, yi_v = carry
             for i in range(m):
-                k = t - 2 * i
+                k_raw = t - 2 * i
+                # hardware dynamic slices do NOT clamp like the interpreter:
+                # out-of-range k (pipeline fill/drain of trailing bulges)
+                # must be clamped explicitly; the rotation is identity when
+                # inactive, so the clamped row-pair is read-modify-written
+                # unchanged
+                k = jnp.clip(k_raw, 0, n - 2)
                 valid_i = jnp.sum(jnp.where(iota_m == i,
                                             valid.astype(jnp.int32), 0),
                                   axis=2, keepdims=True) > 0
@@ -355,7 +361,7 @@ def _kernel_ms(hr_in, hi_in, ztr_in, zti_in,
                 sg_i = at_lane_m(shi, i)
 
                 # --- introduction at the window top ------------------------
-                intro = (k == lo) & valid_i
+                intro = (k_raw == lo) & valid_i
                 hk_r = hr_ref[:, pl.ds(k, 1), :]
                 hk_i = hi_ref[:, pl.ds(k, 1), :]
                 h1_r = hr_ref[:, pl.ds(k + 1, 1), :]
@@ -380,7 +386,7 @@ def _kernel_ms(hr_in, hi_in, ztr_in, zti_in,
                 yr = jnp.where(intro, m1_kr, yr)
                 yi = jnp.where(intro, m1_ki, yi)
 
-                active = (k >= lo) & (k < hi) & valid_i
+                active = (k_raw >= lo) & (k_raw < hi) & valid_i
                 c, sr, si = _givens(xr, xi, yr, yi, active)
 
                 # --- rotate H rows k, k+1 ----------------------------------
@@ -417,7 +423,7 @@ def _kernel_ms(hr_in, hi_in, ztr_in, zti_in,
                                axis=2, keepdims=True)
                 y2_i = jnp.sum(h2_r * mw_i + h2_i * mw_r,
                                axis=2, keepdims=True)
-                nxt_ok = (k + 2) <= hi
+                nxt_ok = (k_raw + 2) <= hi
                 yn_r = jnp.where(nxt_ok, y2_r, 0.)
                 yn_i = jnp.where(nxt_ok, y2_i, 0.)
                 xr_new = jnp.where(active, xn_r, xr)
@@ -514,7 +520,7 @@ def _call_ms(Hr, Hi, ZTr, ZTi, m, max_iter_factor, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=114 * 2 ** 20),
         interpret=interpret,
     )(Hr, Hi, ZTr, ZTi)
     return out[:4] + (out[6],)
