@@ -1,0 +1,529 @@
+"""HBM-resident windowed multishift Schur QR (the large-n eigensolver).
+
+The VMEM-resident kernels cap out near n ~ 1300 on a v5e (six resident
+(n, n) float32 arrays plus temporaries exceed VMEM).  This kernel keeps
+H and Z^T in HBM and runs LAPACK zlaqr5's structure shaped to this
+runtime:
+
+* per sweep: the diagonal band (diag + subdiagonal) is refreshed from
+  HBM by 256x256 diagonal-tile DMAs into a (1, T, 128) band layout
+  (dynamic lane-dim vector writes are not lowerable; size-1 sublane
+  writes are), and the deflation window [lo, hi] is computed from the
+  band with the same LAPACK thresholds as the VMEM kernels;
+* shifts: an (m+8) x 256 block containing the trailing m x m submatrix
+  is DMA'd in (8-/128-aligned corner), the m x m block extracted with
+  one-hot selection matmuls, its eigenvalues computed by the in-kernel
+  mini QR (shared with eig_qr_pallas_ms) and sorted by distance to
+  H[hi, hi];
+* chase: m spacing-2 bulges run through a sequence of overlapping
+  wb x wb diagonal windows (128-aligned starts).  Inside a window all
+  state is VMEM: row-pair rotations on the block B, accumulation into
+  the window-local U, next-rotation sources from the deferred invariant
+  M|window = B U^T.  Parked bulge bumps (second-subdiagonal entries at
+  the window exit rows) survive the Hessenberg junk mask so they resume
+  in the next window;
+* window epilogue: B <- B U^T in VMEM, then the off-window row segment
+  H[a:a+wb, a+wb:] <- conj(U) @ (tiles), the column segment
+  H[0:a, a:a+wb] <- (tiles) @ U^T, and Z^T[a:a+wb, :] <- U @ (tiles)
+  stream through DMA'd slabs.  There is NO global prefix GEMM: per-sweep
+  work is O(n^2) streamed elements + O(wb n^2 / stride) MXU flops,
+  amortized over the sweep's m shifts.
+
+Everything in the kernel is unit-batch 3-D — (1, s, l) tiles, axis-1 /
+axis-2 keepdims reductions, scalars only by full-reducing a (1, 1, 1) —
+because those are the only vector shapes Mosaic reliably lowers on this
+runtime (2-D (1, m) reductions fail with "Unsupported output implicit
+dimension").  Sublane shifts of the band go through one-hot matmuls for
+the same reason.
+
+The matrix is padded to n_pad (multiple of 256) with isolated diagonal
+entries (dead subdiagonals -> they deflate instantly) and the ALLOCATION
+to n_arr = n_pad + wb + 128 so edge tiles may read/write junk in the
+margin without bounds issues.
+
+Reference baseline: cuSOLVER/MAGMA zgeev (torch.linalg.eig) behind
+/root/reference/torcwa/rcwa.py:1236; the reference's recorded number at
+order-20 scale is 156 s/solve on CPU (SURVEY §6).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .eig_qr_pallas_ms import _mini_eigvals, _givens
+
+__all__ = ['schur_qr_hbm']
+
+_F32EPS = 1.1920929e-07
+_SMLNUM = 1e-31
+
+# interp-mode debugging: print per-sweep (lo, hi) and the sorted shifts
+_DEBUG_PRINT = False
+
+
+def _cdma(src_r, src_i, dst_r, dst_i, sem):
+    cp = pltpu.make_async_copy(src_r, dst_r, sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(src_i, dst_i, sem)
+    cp.start()
+    cp.wait()
+
+
+def _dotg(a, b, dims, prec):
+    return lax.dot_general(a, b, (dims, ((0,), (0,))), precision=prec,
+                           preferred_element_type=jnp.float32)
+
+
+def _s11(x):
+    """(1, s, l) -> (1, 1, 1) sum via staged single-axis reductions."""
+    return jnp.sum(jnp.sum(x, axis=1, keepdims=True), axis=2, keepdims=True)
+
+
+def _m11(x):
+    """(1, s, l) -> (1, 1, 1) max via staged single-axis reductions."""
+    return jnp.max(jnp.max(x, axis=1, keepdims=True), axis=2, keepdims=True)
+
+
+def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
+                hr, hi_, ztr, zti, stat_ref,
+                B_r, B_i, U_r, U_i, S_r, S_i, T_r, T_i, K_r, K_i,
+                P_r, P_i, dg_r, dg_i, sb_r, sb_i, sem,
+                *, n: int, m: int, wb: int, max_sweeps: int):
+    nt = n // 128                       # band tiles
+    # window advance: the resumed chase (tcur = a + wb - 2) needs its
+    # trailing bulge row (tcur - 2(m-1)) inside the next window
+    stride = wb - ((2 * m + 127) // 128) * 128
+    i2r = lax.broadcasted_iota(jnp.int32, (1, wb, wb), 1)
+    i2c = lax.broadcasted_iota(jnp.int32, (1, wb, wb), 2)
+    iota_m = lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    bt_r = lax.broadcasted_iota(jnp.int32, (1, nt, 128), 1)
+    bt_l = lax.broadcasted_iota(jnp.int32, (1, nt, 128), 2)
+    gidx = bt_r * 128 + bt_l            # global index per band slot
+    # one-hot "next tile" / "previous tile" sublane shifts of the band
+    # (Mosaic cannot roll the sublane axis; a selection matmul can)
+    sh_r = lax.broadcasted_iota(jnp.int32, (1, nt, nt), 1)
+    sh_c = lax.broadcasted_iota(jnp.int32, (1, nt, nt), 2)
+    next_tile = (sh_c == sh_r + 1).astype(jnp.float32)   # row t <- row t+1
+    prev_tile = (sh_c == sh_r - 1).astype(jnp.float32)   # row t <- row t-1
+    dn_shift = ((2,), (1,))
+    prec = lax.Precision.HIGHEST
+
+    def at_lane_m(v, j):
+        return jnp.sum(jnp.where(iota_m == j, v, 0.), axis=2, keepdims=True)
+
+    # ---- copy inputs -> outputs (whole-array HBM->HBM DMA) ----------------
+    _cdma(hr_in, hi_in, hr, hi_, sem)
+    _cdma(ztr_in, zti_in, ztr, zti, sem)
+
+    def refresh_band(t, carry):
+        d0 = pl.multiple_of(t * 128, 128)
+        _cdma(hr.at[:, pl.ds(d0, 256), pl.ds(d0, 256)],
+              hi_.at[:, pl.ds(d0, 256), pl.ds(d0, 256)], K_r, K_i, sem)
+        kr = K_r[:]
+        ki = K_i[:]
+        r256 = lax.broadcasted_iota(jnp.int32, (1, 256, 256), 1)
+        c256 = lax.broadcasted_iota(jnp.int32, (1, 256, 256), 2)
+        mdiag = (r256 == c256) & (r256 < 128)
+        msub = (r256 == c256 + 1) & (c256 < 128)
+        dgr = jnp.sum(jnp.where(mdiag, kr, 0.), axis=1, keepdims=True)
+        dgi = jnp.sum(jnp.where(mdiag, ki, 0.), axis=1, keepdims=True)
+        sbr = jnp.sum(jnp.where(msub, kr, 0.), axis=1, keepdims=True)
+        sbi = jnp.sum(jnp.where(msub, ki, 0.), axis=1, keepdims=True)
+        dg_r[:, pl.ds(t, 1), :] = dgr[:, :, :128]
+        dg_i[:, pl.ds(t, 1), :] = dgi[:, :, :128]
+        sb_r[:, pl.ds(t, 1), :] = sbr[:, :, :128]
+        sb_i[:, pl.ds(t, 1), :] = sbi[:, :, :128]
+        return carry
+
+    def sweep(state):
+        hi_top, it = state
+
+        lax.fori_loop(0, nt, refresh_band, 0)
+        dgr = dg_r[:]
+        dgi = dg_i[:]
+        sbr = sb_r[:]
+        sbi = sb_i[:]
+        d = jnp.sqrt(dgr * dgr + dgi * dgi)          # (1, nt, 128)
+        sub2 = sbr * sbr + sbi * sbi
+        # d[g+1]: lane roll with tile-boundary carry from the next tile
+        lr_ = pltpu.roll(d, shift=127, axis=2)
+        d_nt = lax.dot_general(next_tile, d, (dn_shift, ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        l2_ = pltpu.roll(d_nt, shift=127, axis=2)
+        dnext = jnp.where(bt_l == 127, l2_, lr_)
+        thresh = jnp.maximum(_F32EPS * (d + dnext), _SMLNUM)
+        alive = (sub2 > thresh * thresh) & (gidx < n - 1)
+        g1 = gidx + 1
+        hi = jnp.max(_m11(jnp.where((g1 <= hi_top) & alive, g1, 0)))
+        # alive[g-1]: lane roll with carry from the previous tile
+        af = alive.astype(jnp.float32)
+        ll = pltpu.roll(af, shift=1, axis=2)
+        a_pt = lax.dot_general(prev_tile, af, (dn_shift, ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        sl = pltpu.roll(a_pt, shift=1, axis=2)
+        aprev = jnp.where(bt_l == 0, sl, ll) > 0.5
+        lo = jnp.max(_m11(jnp.where((gidx <= hi) & ((gidx == 0) | ~aprev),
+                                    gidx, 0)))
+
+        # ---- shifts from the trailing block -------------------------------
+        base = jnp.maximum(hi - (m - 1), lo)
+        b8 = pl.multiple_of((base // 8) * 8, 8)
+        c128 = pl.multiple_of((base // 128) * 128, 128)
+        _cdma(hr.at[:, pl.ds(b8, m + 8), pl.ds(c128, 256)],
+              hi_.at[:, pl.ds(b8, m + 8), pl.ds(c128, 256)], T_r, T_i, sem)
+        roff = base - b8
+        coff = base - c128
+        rs_r = lax.broadcasted_iota(jnp.int32, (1, m, m + 8), 1)
+        rs_c = lax.broadcasted_iota(jnp.int32, (1, m, m + 8), 2)
+        rsel = (rs_c == (roff + rs_r)).astype(jnp.float32)     # (1, m, m+8)
+        cs_r = lax.broadcasted_iota(jnp.int32, (1, 256, m), 1)
+        cs_c = lax.broadcasted_iota(jnp.int32, (1, 256, m), 2)
+        csel = (cs_r == (coff + cs_c)).astype(jnp.float32)     # (1, 256, m)
+        Rr = _dotg(rsel, T_r[:], ((2,), (1,)), prec)           # (1, m, 256)
+        Ri = _dotg(rsel, T_i[:], ((2,), (1,)), prec)
+        Br = _dotg(Rr, csel, ((2,), (1,)), prec)               # (1, m, m)
+        Bi = _dotg(Ri, csel, ((2,), (1,)), prec)
+        mrows = lax.broadcasted_iota(jnp.int32, (1, m, m), 1)
+        mcols = lax.broadcasted_iota(jnp.int32, (1, m, m), 2)
+        valid_rc = ((base + mrows) <= hi) & ((base + mcols) <= hi)
+        Br = jnp.where(valid_rc, Br, 0.)
+        Bi = jnp.where(valid_rc, Bi, 0.)
+        shr, shi = _mini_eigvals(Br, Bi, m)                    # (1, 1, m)
+
+        # Wilkinson-style shift ordering (closest to H[hi,hi] leads)
+        hh_r = _s11(jnp.where(gidx == hi, dgr, 0.))            # (1,1,1)
+        hh_i = _s11(jnp.where(gidx == hi, dgi, 0.))
+        dist = (shr - hh_r) ** 2 + (shi - hh_i) ** 2
+        big = jnp.float32(3.4e38)
+        # padding lanes of the trailing block (global index beyond hi) hold
+        # eigenvalue 0, NOT a spectrum estimate; when |M[hi, hi]| is small
+        # they sort ahead of the true shifts and the live bulges then chase
+        # useless zero shifts forever.  Push them behind every valid shift.
+        shift_ok = (base + iota_m) <= hi
+        dist = jnp.where(shift_ok, dist, big)
+        remaining = jnp.ones((1, 1, m), bool)
+        out_r = shr
+        out_i = shi
+        for i_s in range(m):
+            dmin = jnp.min(jnp.where(remaining, dist, big),
+                           axis=2, keepdims=True)
+            hit = remaining & (dist <= dmin)
+            lane_idx = jnp.min(jnp.where(hit, iota_m, m),
+                               axis=2, keepdims=True)
+            onehot = iota_m == lane_idx
+            val_r = jnp.sum(jnp.where(onehot, shr, 0.),
+                            axis=2, keepdims=True)
+            val_i = jnp.sum(jnp.where(onehot, shi, 0.),
+                            axis=2, keepdims=True)
+            out_r = jnp.where(iota_m == i_s, val_r, out_r)
+            out_i = jnp.where(iota_m == i_s, val_i, out_i)
+            remaining = remaining & ~onehot
+        exc = (it % 13) == 12
+        tr_dg_r = jnp.sum(jnp.where(mrows == mcols, Br, 0.),
+                          axis=1, keepdims=True)               # (1,1,m)
+        tr_dg_i = jnp.sum(jnp.where(mrows == mcols, Bi, 0.),
+                          axis=1, keepdims=True)
+        tr_sb = jnp.sqrt(jnp.sum(jnp.where(mrows == mcols + 1,
+                                           Br * Br + Bi * Bi, 0.),
+                                 axis=1, keepdims=True))
+        shr = jnp.where(exc, tr_dg_r + 0.75 * tr_sb, out_r)
+        shi = jnp.where(exc, tr_dg_i, out_i)
+
+        valid_b = (lo + 2 * iota_m + 1) <= hi                  # (1, 1, m)
+
+        if _DEBUG_PRINT:
+            jax.debug.print('sweep {} lo={} hi={} shr={} shi={}',
+                            it, lo, hi, shr[0, 0], shi[0, 0])
+
+        # ---- windowed chase ------------------------------------------------
+        a0 = jnp.maximum(lo - 2 * (m - 1), 0)
+        a0 = (a0 // 128) * 128
+        t_final = hi - 1 + 2 * (m - 1)
+
+        def win_cond(wstate):
+            a, tcur = wstate[0], wstate[1]
+            return tcur <= t_final
+
+        def win_body(wstate):
+            a, tcur, xr_v, xi_v, yr_v, yi_v = wstate
+            aa = pl.multiple_of(a, 128)
+            _cdma(hr.at[:, pl.ds(aa, wb), pl.ds(aa, wb)],
+                  hi_.at[:, pl.ds(aa, wb), pl.ds(aa, wb)], B_r, B_i, sem)
+            U_r[:] = (i2r == i2c).astype(jnp.float32)
+            U_i[:] = jnp.zeros((1, wb, wb), jnp.float32)
+
+            t_end = jnp.minimum(a + wb - 3, t_final)
+
+            def step(t, carry):
+                xr_v, xi_v, yr_v, yi_v = carry
+                for i in range(m):
+                    k = t - 2 * i
+                    # clamp the block-local row index: hardware dynamic
+                    # slices do not clamp, and pipeline fill/drain puts
+                    # inactive bulges outside the block
+                    kl = jnp.clip(k - a, 0, wb - 2)
+                    valid_i = at_lane_m(valid_b.astype(jnp.float32), i) > 0.
+                    sg_r = at_lane_m(shr, i)
+                    sg_i = at_lane_m(shi, i)
+                    intro = (k == lo) & valid_i
+                    bk_r = B_r[:, pl.ds(kl, 1), :]
+                    bk_i = B_i[:, pl.ds(kl, 1), :]
+                    b1_r = B_r[:, pl.ds(kl + 1, 1), :]
+                    b1_i = B_i[:, pl.ds(kl + 1, 1), :]
+                    uk_r = U_r[:, pl.ds(kl, 1), :]
+                    uk_i = U_i[:, pl.ds(kl, 1), :]
+                    mk_kr = jnp.sum(bk_r * uk_r - bk_i * uk_i,
+                                    axis=2, keepdims=True)
+                    mk_ki = jnp.sum(bk_r * uk_i + bk_i * uk_r,
+                                    axis=2, keepdims=True)
+                    m1_kr = jnp.sum(b1_r * uk_r - b1_i * uk_i,
+                                    axis=2, keepdims=True)
+                    m1_ki = jnp.sum(b1_r * uk_i + b1_i * uk_r,
+                                    axis=2, keepdims=True)
+                    xr = at_lane_m(xr_v, i)
+                    xi = at_lane_m(xi_v, i)
+                    yr = at_lane_m(yr_v, i)
+                    yi = at_lane_m(yi_v, i)
+                    xr = jnp.where(intro, mk_kr - sg_r, xr)
+                    xi = jnp.where(intro, mk_ki - sg_i, xi)
+                    yr = jnp.where(intro, m1_kr, yr)
+                    yi = jnp.where(intro, m1_ki, yi)
+
+                    active = (k >= lo) & (k < hi) & valid_i
+                    c, sr, si = _givens(xr, xi, yr, yi, active)
+
+                    nk_r = c * bk_r + (sr * b1_r - si * b1_i)
+                    nk_i = c * bk_i + (sr * b1_i + si * b1_r)
+                    n1_r = c * b1_r - (sr * bk_r + si * bk_i)
+                    n1_i = c * b1_i - (sr * bk_i - si * bk_r)
+                    B_r[:, pl.ds(kl, 1), :] = nk_r
+                    B_i[:, pl.ds(kl, 1), :] = nk_i
+                    B_r[:, pl.ds(kl + 1, 1), :] = n1_r
+                    B_i[:, pl.ds(kl + 1, 1), :] = n1_i
+
+                    u1_r = U_r[:, pl.ds(kl + 1, 1), :]
+                    u1_i = U_i[:, pl.ds(kl + 1, 1), :]
+                    mw_r = c * uk_r + (sr * u1_r + si * u1_i)
+                    mw_i = c * uk_i + (sr * u1_i - si * u1_r)
+                    m1w_r = c * u1_r - (sr * uk_r - si * uk_i)
+                    m1w_i = c * u1_i - (sr * uk_i + si * uk_r)
+                    U_r[:, pl.ds(kl, 1), :] = mw_r
+                    U_i[:, pl.ds(kl, 1), :] = mw_i
+                    U_r[:, pl.ds(kl + 1, 1), :] = m1w_r
+                    U_i[:, pl.ds(kl + 1, 1), :] = m1w_i
+
+                    k2 = jnp.minimum(kl + 2, wb - 1)
+                    b2_r = B_r[:, pl.ds(k2, 1), :]
+                    b2_i = B_i[:, pl.ds(k2, 1), :]
+                    xn_r = jnp.sum(n1_r * mw_r - n1_i * mw_i,
+                                   axis=2, keepdims=True)
+                    xn_i = jnp.sum(n1_r * mw_i + n1_i * mw_r,
+                                   axis=2, keepdims=True)
+                    y2_r = jnp.sum(b2_r * mw_r - b2_i * mw_i,
+                                   axis=2, keepdims=True)
+                    y2_i = jnp.sum(b2_r * mw_i + b2_i * mw_r,
+                                   axis=2, keepdims=True)
+                    nxt_ok = (k + 2) <= hi
+                    yn_r = jnp.where(nxt_ok, y2_r, 0.)
+                    yn_i = jnp.where(nxt_ok, y2_i, 0.)
+                    selm = iota_m == i
+                    xr_v = jnp.where(selm, jnp.where(active, xn_r, xr), xr_v)
+                    xi_v = jnp.where(selm, jnp.where(active, xn_i, xi), xi_v)
+                    yr_v = jnp.where(selm, jnp.where(active, yn_r, yr), yr_v)
+                    yi_v = jnp.where(selm, jnp.where(active, yn_i, yi), yi_v)
+                return (xr_v, xi_v, yr_v, yi_v)
+
+            carry = lax.fori_loop(tcur, t_end + 1, step,
+                                  (xr_v, xi_v, yr_v, yi_v))
+            xr_v, xi_v, yr_v, yi_v = carry
+
+            # --- B <- B U^T; keep parked bulge bumps alive ------------------
+            Br_ = B_r[:]
+            Bi_ = B_i[:]
+            Ur_ = U_r[:]
+            Ui_ = U_i[:]
+            Br2 = (_dotg(Br_, Ur_, ((2,), (2,)), prec)
+                   - _dotg(Bi_, Ui_, ((2,), (2,)), prec))
+            Bi2 = (_dotg(Br_, Ui_, ((2,), (2,)), prec)
+                   + _dotg(Bi_, Ur_, ((2,), (2,)), prec))
+            # parked bumps: rows r = t_end + 2 - 2i (i = 0..m-1) carry a live
+            # second-subdiagonal entry that must survive into the next window
+            u = (t_end + 2) - (aa + i2r)
+            parked = (u >= 0) & (u <= 2 * (m - 1)) & ((u % 2) == 0)
+            hm = (i2r <= i2c + 1) | ((i2r == i2c + 2) & parked)
+            B_r[:] = jnp.where(hm, Br2, 0.)
+            B_i[:] = jnp.where(hm, Bi2, 0.)
+            _cdma(B_r, B_i, hr.at[:, pl.ds(aa, wb), pl.ds(aa, wb)],
+                  hi_.at[:, pl.ds(aa, wb), pl.ds(aa, wb)], sem)
+
+            # --- right slabs: H[a:a+wb, c:c+512] <- conj(U) @ slab ----------
+            n_right = (n - (a + wb) + 511) // 512
+
+            def right_body(j, _):
+                c0 = pl.multiple_of(aa + wb + j * 512, 128)
+                _cdma(hr.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      hi_.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      S_r, S_i, sem)
+                Sr = S_r[:]
+                Si = S_i[:]
+                S_r[:] = (_dotg(Ur_, Sr, ((2,), (1,)), prec)
+                          + _dotg(Ui_, Si, ((2,), (1,)), prec))
+                S_i[:] = (_dotg(Ur_, Si, ((2,), (1,)), prec)
+                          - _dotg(Ui_, Sr, ((2,), (1,)), prec))
+                _cdma(S_r, S_i, hr.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      hi_.at[:, pl.ds(aa, wb), pl.ds(c0, 512)], sem)
+                return 0
+
+            lax.fori_loop(0, n_right, right_body, 0)
+
+            # --- top slabs: H[r:r+128, a:a+wb] <- slab @ U^T ----------------
+            n_top = a // 128
+
+            def top_body(j, _):
+                r0 = pl.multiple_of(j * 128, 8)
+                _cdma(hr.at[:, pl.ds(r0, 128), pl.ds(aa, wb)],
+                      hi_.at[:, pl.ds(r0, 128), pl.ds(aa, wb)],
+                      P_r, P_i, sem)
+                Sr = P_r[:]
+                Si = P_i[:]
+                P_r[:] = (_dotg(Sr, Ur_, ((2,), (2,)), prec)
+                          - _dotg(Si, Ui_, ((2,), (2,)), prec))
+                P_i[:] = (_dotg(Sr, Ui_, ((2,), (2,)), prec)
+                          + _dotg(Si, Ur_, ((2,), (2,)), prec))
+                _cdma(P_r, P_i, hr.at[:, pl.ds(r0, 128), pl.ds(aa, wb)],
+                      hi_.at[:, pl.ds(r0, 128), pl.ds(aa, wb)], sem)
+                return 0
+
+            lax.fori_loop(0, n_top, top_body, 0)
+
+            # --- Z^T slabs: Z^T[a:a+wb, c:c+512] <- U @ slab ----------------
+            def z_body(j, _):
+                c0 = pl.multiple_of(j * 512, 128)
+                _cdma(ztr.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      zti.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      S_r, S_i, sem)
+                Sr = S_r[:]
+                Si = S_i[:]
+                S_r[:] = (_dotg(Ur_, Sr, ((2,), (1,)), prec)
+                          - _dotg(Ui_, Si, ((2,), (1,)), prec))
+                S_i[:] = (_dotg(Ur_, Si, ((2,), (1,)), prec)
+                          + _dotg(Ui_, Sr, ((2,), (1,)), prec))
+                _cdma(S_r, S_i, ztr.at[:, pl.ds(aa, wb), pl.ds(c0, 512)],
+                      zti.at[:, pl.ds(aa, wb), pl.ds(c0, 512)], sem)
+                return 0
+
+            lax.fori_loop(0, (n + 511) // 512, z_body, 0)
+
+            return (a + stride, t_end + 1, xr_v, xi_v, yr_v, yi_v)
+
+        zeros_m = jnp.zeros((1, 1, m), jnp.float32)
+        lax.while_loop(win_cond, win_body,
+                       (a0, lo, zeros_m, zeros_m, zeros_m, zeros_m))
+        return (hi, it + 1)
+
+    def cond(state):
+        hi_top, it = state
+        return (hi_top > 0) & (it < max_sweeps)
+
+    hi_f, it_f = lax.while_loop(cond, sweep, (jnp.int32(n - 1), jnp.int32(0)))
+    sub = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    stat_ref[:] = jnp.where(sub == 0, hi_f.astype(jnp.float32),
+                            it_f.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=('n', 'n_arr', 'm', 'wb',
+                                             'max_sweeps', 'interpret'))
+def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret):
+    nt = n // 128
+    kern = functools.partial(_kernel_hbm, n=n, m=m, wb=wb,
+                             max_sweeps=max_sweeps)
+    return pl.pallas_call(
+        kern,
+        out_shape=([jax.ShapeDtypeStruct((1, n_arr, n_arr), jnp.float32)] * 4
+                   + [jax.ShapeDtypeStruct((8, 128), jnp.float32)]),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+                   + [pl.BlockSpec(memory_space=pltpu.VMEM)]),
+        scratch_shapes=[
+            pltpu.VMEM((1, wb, wb), jnp.float32),    # B_r
+            pltpu.VMEM((1, wb, wb), jnp.float32),    # B_i
+            pltpu.VMEM((1, wb, wb), jnp.float32),    # U_r
+            pltpu.VMEM((1, wb, wb), jnp.float32),    # U_i
+            pltpu.VMEM((1, wb, 512), jnp.float32),   # S_r
+            pltpu.VMEM((1, wb, 512), jnp.float32),   # S_i
+            pltpu.VMEM((1, m + 8, 256), jnp.float32),  # T_r (shift block)
+            pltpu.VMEM((1, m + 8, 256), jnp.float32),  # T_i
+            pltpu.VMEM((1, 256, 256), jnp.float32),  # K_r (band tiles)
+            pltpu.VMEM((1, 256, 256), jnp.float32),  # K_i
+            pltpu.VMEM((1, 128, wb), jnp.float32),   # P_r (top slabs)
+            pltpu.VMEM((1, 128, wb), jnp.float32),   # P_i
+            pltpu.VMEM((1, nt, 128), jnp.float32),   # dg_r
+            pltpu.VMEM((1, nt, 128), jnp.float32),   # dg_i
+            pltpu.VMEM((1, nt, 128), jnp.float32),   # sb_r
+            pltpu.VMEM((1, nt, 128), jnp.float32),   # sb_i
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 2 ** 20),
+        interpret=interpret,
+    )(Hr, Hi, ZTr, ZTi)
+
+
+def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
+                 interpret=False, return_stats=False):
+    """HBM-resident multishift Schur QR for ONE [n, n] Hessenberg pair.
+
+    Drop-in for schur_qr_pallas_ms with no VMEM size ceiling.  Returns
+    (Tr, Ti, Zr, Zi); non-converged spectra are NaN-poisoned.
+    """
+    n0 = Hr.shape[-1]
+    n = max(-(-n0 // 128) * 128, 256)    # math size (padded)
+    n_arr = n + wb + 128                 # allocation size (margin)
+    max_sweeps = (max_iter_factor * n) // m + 8 * m + 40
+    stride = wb - ((2 * m + 127) // 128) * 128
+    if stride <= 0:
+        raise ValueError(f'window {wb} too small for {m} bulges '
+                         f'(stride {stride} <= 0)')
+
+    def embed(X, fill_diag=None):
+        full = jnp.zeros((n_arr, n_arr), jnp.float32)
+        full = full.at[:n0, :n0].set(X.astype(jnp.float32))
+        if fill_diag is not None:
+            idx = jnp.arange(n0, n)
+            full = full.at[idx, idx].set(fill_diag)
+        return full[None]
+
+    # padding eigenvalues: distinct values away from typical spectra; the
+    # zero subdiagonal at n0-1 makes them deflate on the first sweep
+    pad_vals = 1. + 0.5 * jnp.arange(n - n0, dtype=jnp.float32)
+    Hr_p = embed(Hr, pad_vals)
+    Hi_p = embed(Hi)
+    ZTr_p = embed(jnp.swapaxes(Qr, -2, -1), jnp.ones(n - n0))
+    ZTi_p = embed(jnp.swapaxes(Qi, -2, -1))
+
+    Tr, Ti, Zr, Zi, stat = _call_hbm(Hr_p, Hi_p, ZTr_p, ZTi_p,
+                                     n, n_arr, m, wb, max_sweeps, interpret)
+    Tr, Ti, Zr, Zi = Tr[0], Ti[0], Zr[0], Zi[0]
+    hi_f = stat[0, 0]
+    sweeps = stat[1, 0]
+    tri = jnp.arange(n0)[:, None] <= jnp.arange(n0)[None, :]
+    Tr = jnp.where(tri, Tr[:n0, :n0], 0.).astype(Hr.dtype)
+    Ti = jnp.where(tri, Ti[:n0, :n0], 0.).astype(Hr.dtype)
+    bad = hi_f > 0
+    eye = jnp.eye(n0, dtype=bool)
+    Tr = jnp.where(bad & eye, jnp.nan, Tr)
+    Ti = jnp.where(bad & eye, jnp.nan, Ti)
+    Zr = jnp.swapaxes(Zr[:n, :n], -2, -1)[:n0, :n0].astype(Hr.dtype)
+    Zi = jnp.swapaxes(Zi[:n, :n], -2, -1)[:n0, :n0].astype(Hr.dtype)
+    out = (Tr, Ti, Zr, Zi)
+    if return_stats:
+        return out + ((hi_f.astype(jnp.int32), sweeps.astype(jnp.int32)),)
+    return out

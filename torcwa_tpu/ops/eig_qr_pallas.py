@@ -120,7 +120,12 @@ def _kernel(hr_in, hi_in, ztr_in, zti_in,
         qi_ = t2i - 4 * deti
         qmag = jnp.sqrt(qr_ * qr_ + qi_ * qi_)
         dscr = jnp.sqrt(jnp.maximum((qmag + qr_) / 2, 0.))
-        dsci = jnp.sign(qi_) * jnp.sqrt(jnp.maximum((qmag - qr_) / 2, 0.))
+        # zero-safe branch sign: a NEGATIVE REAL discriminant (qi_ == 0,
+        # qmag > qr_) must still produce the +-i sqrt pair; jnp.sign(0)=0
+        # used to zero it, collapsing the Wilkinson shift to tr/2 and
+        # stalling pure-imaginary spectra (e.g. antisymmetric matrices)
+        dsci = jnp.where(qi_ >= 0, 1., -1.) * jnp.sqrt(
+            jnp.maximum((qmag - qr_) / 2, 0.))
         l1r, l1i = (trr + dscr) / 2, (tri + dsci) / 2
         l2r, l2i = (trr - dscr) / 2, (tri - dsci) / 2
         pick1 = ((l1r - dr_) ** 2 + (l1i - di_) ** 2 <
@@ -382,7 +387,12 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         qi_ = 2 * trr * tri - 4 * deti
         qmag = jnp.sqrt(qr_ * qr_ + qi_ * qi_)
         dscr = jnp.sqrt(jnp.maximum((qmag + qr_) / 2, 0.))
-        dsci = jnp.sign(qi_) * jnp.sqrt(jnp.maximum((qmag - qr_) / 2, 0.))
+        # zero-safe branch sign: a NEGATIVE REAL discriminant (qi_ == 0,
+        # qmag > qr_) must still produce the +-i sqrt pair; jnp.sign(0)=0
+        # used to zero it, collapsing the Wilkinson shift to tr/2 and
+        # stalling pure-imaginary spectra (e.g. antisymmetric matrices)
+        dsci = jnp.where(qi_ >= 0, 1., -1.) * jnp.sqrt(
+            jnp.maximum((qmag - qr_) / 2, 0.))
         l1r, l1i = (trr + dscr) / 2, (tri + dsci) / 2
         l2r, l2i = (trr - dscr) / 2, (tri - dsci) / 2
         pick1 = ((l1r - dr_) ** 2 + (l1i - di_) ** 2 <

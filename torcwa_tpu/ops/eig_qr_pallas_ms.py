@@ -82,7 +82,12 @@ def _wilkinson(ar, ai, br, bi, cr, ci, dr, di):
     qi_ = 2 * trr * tri - 4 * deti
     qmag = jnp.sqrt(qr_ * qr_ + qi_ * qi_)
     dscr = jnp.sqrt(jnp.maximum((qmag + qr_) / 2, 0.))
-    dsci = jnp.sign(qi_) * jnp.sqrt(jnp.maximum((qmag - qr_) / 2, 0.))
+    # zero-safe branch sign: a NEGATIVE REAL discriminant (qi_ == 0,
+    # qmag > qr_) must still produce the +-i sqrt pair; jnp.sign(0)=0
+    # used to zero it, collapsing the Wilkinson shift to tr/2 and
+    # stalling pure-imaginary spectra (e.g. antisymmetric matrices)
+    dsci = jnp.where(qi_ >= 0, 1., -1.) * jnp.sqrt(
+        jnp.maximum((qmag - qr_) / 2, 0.))
     return ((trr + dscr) / 2, (tri + dsci) / 2,
             (trr - dscr) / 2, (tri - dsci) / 2)
 
@@ -301,6 +306,14 @@ def _kernel_ms(hr_in, hi_in, ztr_in, zti_in,
         hh_i = at_lane(di, hi)
         dist = (shr - hh_r) ** 2 + (shi - hh_i) ** 2
         big = jnp.float32(3.4e38)
+        # padding lanes of the trailing block (global index beyond hi) hold
+        # eigenvalue 0, NOT a spectrum estimate; when |M[hi, hi]| is small
+        # they would sort ahead of the true shifts and the live bulges then
+        # chase useless zero shifts forever (observed: a 2x2 window with
+        # near-zero diagonal and eigenvalues ~ +-6.8i cycling for 900
+        # sweeps).  Push them behind every valid shift.
+        shift_ok = (base + iota_m) <= hi
+        dist = jnp.where(shift_ok, dist, big)
         remaining = jnp.ones((1, 1, m), bool)
         out_r = shr
         out_i = shi

@@ -33,6 +33,12 @@ __all__ = ['eig_qr_real', 'eig_qr_split']
 # kernel where the batch already amortizes the per-step overhead.
 _MS_MIN_N = 512
 _MS_SHIFTS = 8
+# Above this the six resident (n, n) arrays blow the v5e VMEM budget;
+# route through the HBM-resident pipeline (blocked WY Hessenberg +
+# windowed-multishift HBM Schur + row-block eigenvector solve).
+_HBM_MIN_N = 1300
+_HBM_SHIFTS = 16
+_HBM_WINDOW = 512
 
 
 def _consts(rdtype):
@@ -386,7 +392,21 @@ def _eig_real_single(Ar, Ai):
     # QR iterations are precision-critical: TPU's default f32 matmul runs
     # in bf16 passes, which stalls deflation and corrupts eigenvectors.
     with jax.default_matmul_precision('highest'):
-        if jax.default_backend() == 'cpu':
+        n_in = Ar.shape[-1]
+        on_cpu = jax.default_backend() == 'cpu'
+        if not on_cpu and n_in >= _HBM_MIN_N:
+            # large-n path: nothing holds a full batch in VMEM
+            from .hess_blocked import hessenberg_blocked
+            from .eig_qr_hbm import schur_qr_hbm
+            from .vec_blocked import eig_tri_vectors_blocked
+            Hr, Hi, Qr, Qi = hessenberg_blocked(Ar, Ai)
+            Tr, Ti, Zr, Zi = schur_qr_hbm(Hr, Hi, Qr, Qi,
+                                          m=_HBM_SHIFTS, wb=_HBM_WINDOW)
+            wr = jnp.diagonal(Tr)
+            wi = jnp.diagonal(Ti)
+            Vr, Vi = eig_tri_vectors_blocked(Tr, Ti, Zr, Zi)
+            return wr, wi, Vr, Vi
+        if on_cpu:
             Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
         else:
             from .eig_qr_pallas import hessenberg_pallas
