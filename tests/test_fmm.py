@@ -168,3 +168,43 @@ def test_sparam_ps_matches_class_api():
             got = np.asarray(pr) + 1j * np.asarray(pi)
             assert np.allclose(got, ref, rtol=2e-4, atol=1e-7), (
                 pol, port, got, ref)
+
+
+def test_fmm_diagnostics_twins():
+    """diffraction_angle_pair / return_layer_pair on solve_stack_pair
+    outputs (functional twins of rcwa.py:214-298, shared with the class
+    API whose golden tests pin the numerics)."""
+    import numpy as np
+    from torcwa_tpu.fmm import (StackSpec, solve_stack_pair,
+                                diffraction_angle_pair, return_layer_pair)
+    rdtype = jnp.float64
+    order = (3, 3)
+    L = (700., 700.)
+    nx = ny = 64
+    x = np.arange(nx) / nx
+    y = np.arange(ny) / ny
+    ras = ((x[:, None] > 0.3) & (x[:, None] < 0.7)
+           & (y[None, :] > 0.3) & (y[None, :] < 0.7))
+    eps = jnp.asarray(np.where(ras, 4.0, 1.0), rdtype)
+    spec = StackSpec(order=order, L=L, n_layers=1, has_input=True)
+    zero = jnp.asarray(0., rdtype)
+    S, intr = solve_stack_pair(
+        spec, jnp.asarray(1. / 532., rdtype), zero, zero,
+        (eps[None], jnp.zeros_like(eps)[None]),
+        jnp.asarray([300.], rdtype),
+        eps_in=(jnp.asarray(2.0, rdtype), zero))
+    one = (jnp.asarray(1., rdtype), zero)
+    inc, azi = diffraction_angle_pair(
+        intr['kx'], intr['ky'], one, one,
+        [[0, 0], [1, 0], [0, 1]], order, unit='degree')
+    assert np.isfinite(np.asarray(inc)).all()
+    assert abs(float(inc[0])) < 1e-6          # normal incidence 0th order
+    # (1,0) order angle: sin(theta) = lambda / (n L) = 532/700
+    th = np.degrees(np.arcsin(532. / 700.))
+    assert abs(float(inc[1]) - th) < 1e-3
+    # layer synthesis: mean preserved, pattern recovered at low order
+    conv0 = (intr['conv'][0][0], intr['conv'][1][0])
+    grid = return_layer_pair(conv0, order, 64, 64)
+    g = np.asarray(grid[0])
+    assert abs(g.mean() - np.asarray(eps).mean()) < 1e-2
+    assert g[32, 32] > 3.0 and g[2, 2] < 2.0

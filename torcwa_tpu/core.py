@@ -477,3 +477,77 @@ def matching_indices(orders, order):
     m = np.clip(orders[:, 0], -order[0], order[0])
     n = np.clip(orders[:, 1], -order[1], order[1])
     return (2 * order[1] + 1) * (m + order[0]) + (n + order[1])
+
+
+def diffraction_angles(kx, ky, eps, mu, orders, order, unit='radian'):
+    """Propagation angles (inclination, azimuth) of selected orders in a
+    homogeneous cladding — functional twin of rcwa.diffraction_angle
+    (rcwa.py:214-262), usable directly on the fmm path's (kx, ky) pairs.
+
+    Args:
+      kx, ky: normalized transverse k-vector cpairs, [N] each (the
+        ``intr['kx'] / intr['ky']`` of solve_stack_pair).
+      eps, mu: cladding permittivity/permeability scalar cpairs.
+      orders: [[m, n], ...] diffraction orders.
+      order: (ox, oy) truncation order.
+    """
+    idx = matching_indices(orders, order)
+    if not isinstance(kx, tuple):          # fmm path: real k-vectors
+        kx = (kx, jnp.zeros_like(kx))
+    if not isinstance(ky, tuple):
+        ky = (ky, jnp.zeros_like(ky))
+    if not isinstance(eps, tuple):
+        eps = (eps, jnp.zeros_like(jnp.asarray(eps)))
+    if not isinstance(mu, tuple):
+        mu = (mu, jnp.zeros_like(jnp.asarray(mu)))
+    kxi = (kx[0][idx], kx[1][idx])
+    kyi = (ky[0][idx], ky[1][idx])
+    k2 = cadd(cmul(kxi, kxi), cmul(kyi, kyi))
+    kt = csqrt(k2)
+    kz = csqrt(csub(cmul(eps, mu), k2))
+    inc = jnp.arctan2(kt[0], kz[0])
+    azi = jnp.arctan2(kyi[0], kxi[0])
+    if unit in ('d', 'deg', 'degree'):
+        rad2deg = 180. / np.pi
+        inc = rad2deg * inc
+        azi = rad2deg * azi
+    return inc, azi
+
+
+def conv_to_grid(conv, order, nx=100, ny=100):
+    """Recover a layer's spatial distribution from its truncated Fourier
+    conv-matrix — functional twin of rcwa.return_layer (rcwa.py:264-298).
+
+    The reference scatters conv coefficients into an [nx, ny] spectrum and
+    ifft2s it; here the inverse DFT is two real matmuls on the (re, im)
+    pair — identical values, no complex FFT (which this TPU runtime cannot
+    hold).  ``conv`` is one [N, N] cpair; returns an [nx, ny] cpair.
+    """
+    ox, oy = order
+    noy = 2 * oy + 1
+    rdtype = conv[0].dtype
+    ii, jj, src_r, src_c = [], [], [], []
+    for i in range(-2 * ox, 2 * ox + 1):
+        for j in range(-2 * oy, 2 * oy + 1):
+            ii.append(i % nx)
+            jj.append(j % ny)
+            if i >= 0 and j >= 0:
+                src_r.append(i * noy + j); src_c.append(0)
+            elif i >= 0 and j < 0:
+                src_r.append(i * noy); src_c.append(-j)
+            elif i < 0 and j >= 0:
+                src_r.append(j); src_c.append(-i * noy)
+            else:
+                src_r.append(0); src_c.append(-i * noy - j)
+    ii, jj = np.array(ii), np.array(jj)
+    src_r, src_c = np.array(src_r), np.array(src_c)
+
+    phx = 2 * np.pi * np.outer(np.arange(nx), np.arange(nx)) / nx
+    phy = 2 * np.pi * np.outer(np.arange(ny), np.arange(ny)) / ny
+    Wx = (jnp.asarray(np.cos(phx), rdtype), jnp.asarray(np.sin(phx), rdtype))
+    Wy = (jnp.asarray(np.cos(phy).T, rdtype),
+          jnp.asarray(np.sin(phy).T, rdtype))
+
+    F = (jnp.zeros((nx, ny), rdtype).at[ii, jj].set(conv[0][src_r, src_c]),
+         jnp.zeros((nx, ny), rdtype).at[ii, jj].set(conv[1][src_r, src_c]))
+    return cmm(Wx, cmm(F, Wy))

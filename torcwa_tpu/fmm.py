@@ -37,12 +37,18 @@ from .core import (bdp_mul as _bdp_mul, bdp_inv as _bdp_inv,
                    bdp_apply as _bdp_apply, bdp_dense as _bdp_dense,
                    vmat as _core_vmat, interface_smatrix_in,
                    interface_smatrix_out)
+# functional diagnostics twins of rcwa.diffraction_angle / return_layer
+# (rcwa.py:214-298) for the split-real path: angles from intr['kx'/'ky'],
+# layer synthesis from intr['conv'] slices
+from .core import (diffraction_angles as diffraction_angle_pair,
+                   conv_to_grid as return_layer_pair)
 from .ops import cplx
 from .ops.eig import eig_pair
 from .ops.fourier import order_vectors, material_conv_pair
 
 __all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair',
-           'sparam_ps_pair', 'simulate_txx']
+           'sparam_ps_pair', 'simulate_txx', 'diffraction_angle_pair',
+           'return_layer_pair']
 
 
 class StackSpec(NamedTuple):

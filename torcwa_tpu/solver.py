@@ -360,20 +360,10 @@ class rcwa:
             warnings.warn('Invalid unit. Set as radian.', UserWarning)
             unit = 'radian'
 
-        idx = core.matching_indices(orders, self.order)
         eps = self.eps_in if layer == 'input' else self.eps_out
         mu = self.mu_in if layer == 'input' else self.mu_out
-
-        kx = (self.Kx_norm_dn[0][idx], self.Kx_norm_dn[1][idx])
-        ky = (self.Ky_norm_dn[0][idx], self.Ky_norm_dn[1][idx])
-        kt = csqrt(cadd(cmul(kx, kx), cmul(ky, ky)))
-        kz = csqrt(csub(cmul(eps, mu), cadd(cmul(kx, kx), cmul(ky, ky))))
-        inc = jnp.arctan2(kt[0], kz[0])
-        azi = jnp.arctan2(ky[0], kx[0])
-        if unit == 'degree':
-            inc = (180. / PI_REF) * inc
-            azi = (180. / PI_REF) * azi
-        return inc, azi
+        return core.diffraction_angles(self.Kx_norm_dn, self.Ky_norm_dn,
+                                       eps, mu, orders, self.order, unit)
 
     def return_layer(self, layer_num, nx=100, ny=100):
         """Recover a layer's eps/mu spatial distributions from its truncated
@@ -382,40 +372,10 @@ class rcwa:
         The reference scatters the conv-matrix coefficients into an [nx, ny]
         spectrum and ifft2s it; here the inverse DFT is two real matmuls on
         the (re, im) pair — identical values, no complex FFT needed."""
-        ox, oy = self.order[0], self.order[1]
-        noy = 2 * oy + 1
-        ii, jj, src_r, src_c = [], [], [], []
-        for i in range(-2 * ox, 2 * ox + 1):
-            for j in range(-2 * oy, 2 * oy + 1):
-                ii.append(i % nx)
-                jj.append(j % ny)
-                if i >= 0 and j >= 0:
-                    src_r.append(i * noy + j); src_c.append(0)
-                elif i >= 0 and j < 0:
-                    src_r.append(i * noy); src_c.append(-j)
-                elif i < 0 and j >= 0:
-                    src_r.append(j); src_c.append(-i * noy)
-                else:
-                    src_r.append(0); src_c.append(-i * noy - j)
-        ii, jj = np.array(ii), np.array(jj)
-        src_r, src_c = np.array(src_r), np.array(src_c)
-
-        # inverse-DFT synthesis matrices exp(+2 pi i x k / n)
-        phx = 2 * np.pi * np.outer(np.arange(nx), np.arange(nx)) / nx
-        phy = 2 * np.pi * np.outer(np.arange(ny), np.arange(ny)) / ny
-        Wx = (jnp.asarray(np.cos(phx), self._rdtype),
-              jnp.asarray(np.sin(phx), self._rdtype))
-        Wy = (jnp.asarray(np.cos(phy).T, self._rdtype),
-              jnp.asarray(np.sin(phy).T, self._rdtype))
-
-        def synth(conv):
-            F = cplx.czeros((nx, ny), self._rdtype)
-            F = (F[0].at[ii, jj].set(conv[0][src_r, src_c]),
-                 F[1].at[ii, jj].set(conv[1][src_r, src_c]))
-            return cmm(Wx, cmm(F, Wy))
-
-        return (self._out(synth(self.eps_conv[layer_num])),
-                self._out(synth(self.mu_conv[layer_num])))
+        return (self._out(core.conv_to_grid(self.eps_conv[layer_num],
+                                            self.order, nx, ny)),
+                self._out(core.conv_to_grid(self.mu_conv[layer_num],
+                                            self.order, nx, ny)))
 
     def S_parameters(self, orders, *, direction='forward', port='transmission',
                      polarization='xx', ref_order=[0, 0], power_norm=True,
