@@ -65,6 +65,30 @@ def measure_ours():
             spec.order, [0, 0], [0, 0], 'xx')
         return (tr ** 2 + ti ** 2)[0]
 
+    # At large order the vmapped sweep holds every wavelength's 4N x 4N
+    # solve residuals simultaneously and overflows HBM (observed: order 25
+    # x 2 lanes needs 18.4G of 15.75G), and a single dispatch spanning the
+    # whole sweep runs long enough to kill the tunnel worker — run one
+    # fwd+grad dispatch per wavelength (mean-loss gradients average).
+    if ORDER >= 15:
+        vg1 = jax.jit(jax.value_and_grad(lambda er, f: point_T(f, er)))
+        # warm up on perturbed inputs (identical inputs hit a result cache
+        # on the tunnel runtime; checksums are the only reliable barrier)
+        v, g = vg1(eps * 1.001, freqs[0])
+        float(jnp.sum(g))
+        t0 = time.time()
+        vals, checksum = [], 0.
+        for f in freqs:
+            v, g = vg1(eps, f)
+            vals.append(float(v))
+            checksum += float(jnp.sum(g))
+        dt = time.time() - t0
+        val = np.mean(vals)
+        assert np.isfinite(val) and np.isfinite(checksum)
+        if os.environ.get('BENCH_STAGES') == '1':
+            _stage_breakdown(spec, eps, freqs, rdtype, dt)
+        return dt / N_LAM
+
     def loss(er):
         return jnp.mean(jax.vmap(lambda f: point_T(f, er))(freqs))
 

@@ -1,9 +1,19 @@
 """Example 3 — geometry (Wx, Wy) parameter sweep with .mat export
-(reference example/Example3.ipynb).
+(reference example/Example3.ipynb, exact configuration).
 
-The reference sweeps an 11x11 grid of rectangle widths in a sequential
-double loop (156 s/solve on its CPU baseline).  Here the whole grid is a
-single vmapped solve; results export to .mat as the notebooks do.
+Reference: 532 nm, a-Si:H meta-atom on a 1.46^2 substrate, 300x300 nm
+cell, 300x300 raster (edge sharpness 1000), thickness 300 nm, an 11x11
+grid of rectangle widths Wx, Wy in [50, 250] nm, order [20, 20]
+(N = 1681 harmonics, 2N = 3362), forward txx(0,0).  The reference runs
+the double loop sequentially: 18939 s total = 156.5 s/solve on its CPU
+baseline (Example3.ipynb cell 1; Xeon Gold 5118).
+
+Ours: small orders vmap the whole grid into one batched solve; at parity
+order (>= 15) each wavelength's 4N x 4N solves would not fit HBM
+batched, so the sweep runs as a sequential lax.map with identical math.
+
+EX3_ORDER (default 4: smoke) / EX3_NW (default 5) / EX3_GRID control the
+configuration; EX3_ORDER=20 EX3_NW=11 is the reference parity run.
 """
 import os
 import sys
@@ -21,47 +31,92 @@ import torcwa_tpu as tt
 from torcwa_tpu.fmm import StackSpec, solve_stack_pair, sparam_xy_pair
 from torcwa_tpu.utils import save_mat
 
-L = (400., 400.)
-ORDER = (4, 4)
-GRID = 128
-NW = 5                       # 5x5 grid (the reference uses 11x11)
+LAMB0 = 532.
+L = (300., 300.)
+ORDER_N = int(os.environ.get('EX3_ORDER', '4'))
+ORDER = (ORDER_N, ORDER_N)
+GRID = int(os.environ.get('EX3_GRID', '300'))
+NW = int(os.environ.get('EX3_NW', '5'))    # reference: 11
+SUB_EPS = 1.46 ** 2
+THICK = 300.
 rdtype = jnp.float32
 
 
+def _si_eps_host(lamb0):
+    data = np.loadtxt('/root/reference/example/Materials_data/aSiH.txt')
+    from scipy.interpolate import interp1d
+    nk = (interp1d(data[:, 0], data[:, 1], kind='cubic')(lamb0)
+          + 1j * interp1d(data[:, 0], data[:, 2], kind='cubic')(lamb0))
+    return complex(nk) ** 2
+
+
+_si = _si_eps_host(np.float32(LAMB0))
+SI_RE = jnp.asarray(_si.real, rdtype)
+SI_IM = jnp.asarray(_si.imag, rdtype)
+
+
 def t00_of_wxwy(wx, wy):
-    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID, edge_sharpness=500.,
-                    dtype=rdtype)
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID,
+                    edge_sharpness=1000., dtype=rdtype)
     geom = g.rectangle(wx, wy, L[0] / 2., L[1] / 2.)
-    er = geom * (3.48 ** 2) + (1. - geom)
+    er = geom * SI_RE + (1. - geom)
+    ei = geom * SI_IM
     spec = StackSpec(order=ORDER, L=L, n_layers=1, has_input=True)
     S, intr = solve_stack_pair(
-        spec, jnp.asarray(1 / 1550., rdtype), jnp.asarray(0., rdtype),
-        jnp.asarray(0., rdtype), (er[None], jnp.zeros_like(er)[None]),
-        jnp.asarray([600.], rdtype),
-        eps_in=(jnp.asarray(1.46 ** 2, rdtype), jnp.asarray(0., rdtype)))
+        spec, jnp.asarray(1 / LAMB0, rdtype), jnp.asarray(0., rdtype),
+        jnp.asarray(0., rdtype), (er[None], ei[None]),
+        jnp.asarray([THICK], rdtype),
+        eps_in=(jnp.asarray(SUB_EPS, rdtype), jnp.asarray(0., rdtype)))
     one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
     tr, ti = sparam_xy_pair(S, intr['kx'], intr['ky'],
-                            (jnp.asarray(1.46 ** 2, rdtype),
+                            (jnp.asarray(SUB_EPS, rdtype),
                              jnp.asarray(0., rdtype)), one,
                             ORDER, [0, 0], [0, 0], 'xx')
     return tr[0], ti[0]
 
 
 if __name__ == '__main__':
-    w = np.linspace(80., 320., NW).astype(np.float32)
+    w = np.linspace(50., 250., NW).astype(np.float32)
     Wx, Wy = np.meshgrid(w, w, indexing='ij')
     pts = jnp.asarray(np.stack([Wx.ravel(), Wy.ravel()], 1))
-    sweep = jax.jit(lambda p: jax.vmap(lambda q: t00_of_wxwy(q[0], q[1]))(p))
-    tr, ti = sweep(pts + 0.01)     # warm up on perturbed inputs
-    np.asarray(tr)
-    t0 = time.time()
-    tr, ti = sweep(pts)
-    # complex values stay split-real on device; fuse on host
-    t = (np.asarray(tr) + 1j * np.asarray(ti)).reshape(NW, NW)
-    dt = time.time() - t0
+    if ORDER_N >= 15:
+        # sequential chunked sweep: one 2N=3362 solve's working set at a
+        # time, and <= CHUNK solves per device dispatch (a single XLA
+        # program running for many minutes kills the tunnel worker)
+        CHUNK = 4
+        npts = pts.shape[0]
+        pad = (-npts) % CHUNK
+        pts_p = jnp.concatenate([pts, pts[:1].repeat(pad, 0)]) \
+            if pad else pts
+        chunked = jax.jit(lambda p: jax.lax.map(
+            lambda q: t00_of_wxwy(q[0], q[1]), p))
+        warm = chunked(pts_p[:CHUNK] + 0.01)
+        np.asarray(warm[0])
+        t0 = time.time()
+        trs, tis = [], []
+        for c0 in range(0, pts_p.shape[0], CHUNK):
+            tr_c, ti_c = chunked(pts_p[c0:c0 + CHUNK])
+            trs.append(np.asarray(tr_c))
+            tis.append(np.asarray(ti_c))
+            print(f'  {min(c0 + CHUNK, npts)} / {npts} solves', flush=True)
+        tr = np.concatenate(trs)[:npts]
+        ti = np.concatenate(tis)[:npts]
+        t = (tr + 1j * ti).reshape(NW, NW)
+        dt = time.time() - t0
+    else:
+        sweep = jax.jit(lambda p: jax.vmap(
+            lambda q: t00_of_wxwy(q[0], q[1]))(p))
+        tr, ti = sweep(pts + 0.01)     # warm up on perturbed inputs
+        np.asarray(tr)
+        t0 = time.time()
+        tr, ti = sweep(pts)
+        # complex values stay split-real on device; fuse on host
+        t = (np.asarray(tr) + 1j * np.asarray(ti)).reshape(NW, NW)
+        dt = time.time() - t0
     print('|t00|^2 over the (Wx, Wy) grid:')
     print(np.round(np.abs(t) ** 2, 4))
-    print(f'{NW * NW} solves in {dt*1e3:.0f} ms '
-          f'({dt/(NW*NW)*1e3:.1f} ms/solve) on {jax.default_backend()}')
-    save_mat('example3_sweep.mat', {'Wx': Wx, 'Wy': Wy, 'txx': t})
+    print(f'order {ORDER_N}: {NW * NW} solves in {dt:.2f} s '
+          f'({dt/(NW*NW):.3f} s/solve) on {jax.default_backend()}')
+    save_mat('example3_sweep.mat', {'Wx': w, 'Wy': w, 'txx': t,
+                                    'elapsed_time': dt})
     print('saved example3_sweep.mat')

@@ -1,4 +1,7 @@
 """Chip test: HBM eig pipeline (blocked hess + HBM Schur + blocked vec)."""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 import numpy as np, jax, jax.numpy as jnp
 from torcwa_tpu.ops.eig_qr_hbm import schur_qr_hbm

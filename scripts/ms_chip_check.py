@@ -1,4 +1,7 @@
 """Verify the clamped multishift kernel on the real chip at n=1054."""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 import numpy as np
 import jax

@@ -141,8 +141,13 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         sb_i[:, pl.ds(t, 1), :] = sbi[:, :, :128]
         return carry
 
+    # pool size: the m-block mini QR — a 2m pool cuts sweeps ~15% but
+    # costs 2x the serial mini budget, a net loss on chip; keep kk = m
+    kk = m
+    iota_kk = lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+
     def sweep(state):
-        hi_top, it = state
+        hi_top, it, stall = state
 
         lax.fori_loop(0, nt, refresh_band, 0)
         dgr = dg_r[:]
@@ -173,67 +178,76 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         lo = jnp.max(_m11(jnp.where((gidx <= hi) & ((gidx == 0) | ~aprev),
                                     gidx, 0)))
 
-        # ---- shifts from the trailing block -------------------------------
-        base = jnp.maximum(hi - (m - 1), lo)
+        # ---- shifts: m best eigenvalues of the trailing 2m block ----------
+        base = jnp.maximum(hi - (kk - 1), lo)
         b8 = pl.multiple_of((base // 8) * 8, 8)
         c128 = pl.multiple_of((base // 128) * 128, 128)
-        _cdma(hr.at[:, pl.ds(b8, m + 8), pl.ds(c128, 256)],
-              hi_.at[:, pl.ds(b8, m + 8), pl.ds(c128, 256)], T_r, T_i, sem)
+        _cdma(hr.at[:, pl.ds(b8, kk + 8), pl.ds(c128, 256)],
+              hi_.at[:, pl.ds(b8, kk + 8), pl.ds(c128, 256)], T_r, T_i, sem)
         roff = base - b8
         coff = base - c128
-        rs_r = lax.broadcasted_iota(jnp.int32, (1, m, m + 8), 1)
-        rs_c = lax.broadcasted_iota(jnp.int32, (1, m, m + 8), 2)
-        rsel = (rs_c == (roff + rs_r)).astype(jnp.float32)     # (1, m, m+8)
-        cs_r = lax.broadcasted_iota(jnp.int32, (1, 256, m), 1)
-        cs_c = lax.broadcasted_iota(jnp.int32, (1, 256, m), 2)
-        csel = (cs_r == (coff + cs_c)).astype(jnp.float32)     # (1, 256, m)
-        Rr = _dotg(rsel, T_r[:], ((2,), (1,)), prec)           # (1, m, 256)
+        rs_r = lax.broadcasted_iota(jnp.int32, (1, kk, kk + 8), 1)
+        rs_c = lax.broadcasted_iota(jnp.int32, (1, kk, kk + 8), 2)
+        rsel = (rs_c == (roff + rs_r)).astype(jnp.float32)   # (1, kk, kk+8)
+        cs_r = lax.broadcasted_iota(jnp.int32, (1, 256, kk), 1)
+        cs_c = lax.broadcasted_iota(jnp.int32, (1, 256, kk), 2)
+        csel = (cs_r == (coff + cs_c)).astype(jnp.float32)     # (1, 256, kk)
+        Rr = _dotg(rsel, T_r[:], ((2,), (1,)), prec)           # (1, kk, 256)
         Ri = _dotg(rsel, T_i[:], ((2,), (1,)), prec)
-        Br = _dotg(Rr, csel, ((2,), (1,)), prec)               # (1, m, m)
+        Br = _dotg(Rr, csel, ((2,), (1,)), prec)               # (1, kk, kk)
         Bi = _dotg(Ri, csel, ((2,), (1,)), prec)
-        mrows = lax.broadcasted_iota(jnp.int32, (1, m, m), 1)
-        mcols = lax.broadcasted_iota(jnp.int32, (1, m, m), 2)
-        valid_rc = ((base + mrows) <= hi) & ((base + mcols) <= hi)
+        krows = lax.broadcasted_iota(jnp.int32, (1, kk, kk), 1)
+        kcols = lax.broadcasted_iota(jnp.int32, (1, kk, kk), 2)
+        valid_rc = ((base + krows) <= hi) & ((base + kcols) <= hi)
         Br = jnp.where(valid_rc, Br, 0.)
         Bi = jnp.where(valid_rc, Bi, 0.)
-        shr, shi = _mini_eigvals(Br, Bi, m)                    # (1, 1, m)
+        shr2, shi2 = _mini_eigvals(Br, Bi, kk)                 # (1, 1, kk)
 
-        # Wilkinson-style shift ordering (closest to H[hi,hi] leads)
+        # Wilkinson-style shift ordering (closest to H[hi,hi] leads; the m
+        # closest of the kk candidates land on lanes 0..m-1)
         hh_r = _s11(jnp.where(gidx == hi, dgr, 0.))            # (1,1,1)
         hh_i = _s11(jnp.where(gidx == hi, dgi, 0.))
-        dist = (shr - hh_r) ** 2 + (shi - hh_i) ** 2
+        dist = (shr2 - hh_r) ** 2 + (shi2 - hh_i) ** 2
         big = jnp.float32(3.4e38)
         # padding lanes of the trailing block (global index beyond hi) hold
         # eigenvalue 0, NOT a spectrum estimate; when |M[hi, hi]| is small
         # they sort ahead of the true shifts and the live bulges then chase
         # useless zero shifts forever.  Push them behind every valid shift.
-        shift_ok = (base + iota_m) <= hi
+        shift_ok = (base + iota_kk) <= hi
         dist = jnp.where(shift_ok, dist, big)
-        remaining = jnp.ones((1, 1, m), bool)
-        out_r = shr
-        out_i = shi
+        remaining = jnp.ones((1, 1, kk), bool)
+        out_r = jnp.zeros((1, 1, m), jnp.float32)
+        out_i = jnp.zeros((1, 1, m), jnp.float32)
         for i_s in range(m):
             dmin = jnp.min(jnp.where(remaining, dist, big),
                            axis=2, keepdims=True)
             hit = remaining & (dist <= dmin)
-            lane_idx = jnp.min(jnp.where(hit, iota_m, m),
+            lane_idx = jnp.min(jnp.where(hit, iota_kk, kk),
                                axis=2, keepdims=True)
-            onehot = iota_m == lane_idx
-            val_r = jnp.sum(jnp.where(onehot, shr, 0.),
+            onehot = iota_kk == lane_idx
+            val_r = jnp.sum(jnp.where(onehot, shr2, 0.),
                             axis=2, keepdims=True)
-            val_i = jnp.sum(jnp.where(onehot, shi, 0.),
+            val_i = jnp.sum(jnp.where(onehot, shi2, 0.),
                             axis=2, keepdims=True)
             out_r = jnp.where(iota_m == i_s, val_r, out_r)
             out_i = jnp.where(iota_m == i_s, val_i, out_i)
             remaining = remaining & ~onehot
-        exc = (it % 13) == 12
-        tr_dg_r = jnp.sum(jnp.where(mrows == mcols, Br, 0.),
-                          axis=1, keepdims=True)               # (1,1,m)
-        tr_dg_i = jnp.sum(jnp.where(mrows == mcols, Bi, 0.),
-                          axis=1, keepdims=True)
-        tr_sb = jnp.sqrt(jnp.sum(jnp.where(mrows == mcols + 1,
-                                           Br * Br + Bi * Bi, 0.),
-                                 axis=1, keepdims=True))
+        # exceptional sweep: perturbed trailing-diagonal shifts, fired only
+        # after 13 sweeps without deflation progress
+        exc = stall >= 13
+        pos = jnp.minimum(jnp.maximum(hi - (m - 1), lo) + iota_m, hi)
+        krow1 = lax.broadcasted_iota(jnp.int32, (1, kk, 1), 1)
+        gsel = ((base + krow1) == pos).astype(jnp.float32)     # (1, kk, m)
+        dg2_r = jnp.sum(jnp.where(krows == kcols, Br, 0.),
+                        axis=1, keepdims=True)                 # (1,1,kk)
+        dg2_i = jnp.sum(jnp.where(krows == kcols, Bi, 0.),
+                        axis=1, keepdims=True)
+        sb2 = jnp.sqrt(jnp.sum(jnp.where(krows == kcols + 1,
+                                         Br * Br + Bi * Bi, 0.),
+                               axis=1, keepdims=True))
+        tr_dg_r = _dotg(dg2_r, gsel, ((2,), (1,)), prec)       # (1,1,m)
+        tr_dg_i = _dotg(dg2_i, gsel, ((2,), (1,)), prec)
+        tr_sb = _dotg(sb2, gsel, ((2,), (1,)), prec)
         shr = jnp.where(exc, tr_dg_r + 0.75 * tr_sb, out_r)
         shi = jnp.where(exc, tr_dg_i, out_i)
 
@@ -427,13 +441,15 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         zeros_m = jnp.zeros((1, 1, m), jnp.float32)
         lax.while_loop(win_cond, win_body,
                        (a0, lo, zeros_m, zeros_m, zeros_m, zeros_m))
-        return (hi, it + 1)
+        stall = jnp.where((hi < hi_top) | exc, 0, stall + 1)
+        return (hi, it + 1, stall)
 
     def cond(state):
-        hi_top, it = state
+        hi_top, it, _ = state
         return (hi_top > 0) & (it < max_sweeps)
 
-    hi_f, it_f = lax.while_loop(cond, sweep, (jnp.int32(n - 1), jnp.int32(0)))
+    hi_f, it_f, _ = lax.while_loop(
+        cond, sweep, (jnp.int32(n - 1), jnp.int32(0), jnp.int32(0)))
     sub = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     stat_ref[:] = jnp.where(sub == 0, hi_f.astype(jnp.float32),
                             it_f.astype(jnp.float32))

@@ -469,6 +469,11 @@ def eig_qr_real(Ar, Ai):
     fi = Ai.reshape((-1, n, n))
     if jax.default_backend() == 'cpu':
         wr, wi, Vr, Vi = jax.vmap(_eig_real_single)(fr, fi)
+    elif n >= _HBM_MIN_N:
+        # large-n: even one matrix fills VMEM — run the batch lanes
+        # sequentially through the HBM-resident single-matrix pipeline
+        wr, wi, Vr, Vi = lax.map(lambda p: _eig_real_single(p[0], p[1]),
+                                 (fr, fi))
     else:
         wr, wi, Vr, Vi = _eig_real_batched(fr, fi)
     return (wr.reshape(batch + (n,)), wi.reshape(batch + (n,)),
