@@ -109,6 +109,7 @@ def test_adversarial_spectra_small(kind):
     assert np.max(np.abs(w_sorted - w0_sorted)) < tol
 
 
+@pytest.mark.slow
 def test_clustered_spectrum_n256_xla():
     """Clustered spectrum at production scale (n=256), float64 XLA path."""
     n = 256
