@@ -33,11 +33,10 @@ def full_check(n, m, wb):
     res = np.linalg.norm(A @ V[:, :8] - V[:, :8]*w[None, :8]) / max(
         float(np.abs(V[:, :8]).max()), 1e-30)
     print(f'n={n}: hess {t_h:.1f}s  qr {t_q:.1f}s (sweeps={int(sweeps)}, '
-          f'hi_f={int(hi_f)})  vec {t_v:.1f}s  finite={np.isfinite(w).all()} '
+          f'hi_f={int(hi_f)}, aed={int(aed_d)})  vec {t_v:.1f}s  finite={np.isfinite(w).all()} '
           f'res8={res:.2e}', flush=True)
 
-full_check(3362, 16, 512)
-full_check(3362, 16, 512)  # steady state (order-20; reference CPU 156 s)
-full_check(5202, 16, 512)
-full_check(5202, 16, 512)  # steady state (order-25 north star)
+sizes = [int(x) for x in sys.argv[1:]] or [3362, 3362, 5202, 5202]
+for nn in sizes:
+    full_check(nn, 16, 512)
 print('DONE', flush=True)

@@ -24,13 +24,97 @@ post-processing step, not part of the differentiable solve path.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .core import bdp_apply, bdp_dense
 from .ops import cplx
 from .ops.cplx import cadd, csub, cneg, cmul, cdiv_raw, cmm, csqrt, scale_cols
 
-__all__ = ['field_plane', 'field_xy']
+__all__ = ['field_plane', 'field_xy', 'fmm_field_adapter']
+
+
+class _LayerView:
+    """Minimal per-layer view (duck-types solver LayerSolution fields)."""
+
+    def __init__(self, E, H, kz):
+        self.E_eigvec = E
+        self.H_eigvec = H
+        self.kz = kz
+
+
+class fmm_field_adapter:
+    """Field-reconstruction context over solve_stack_pair outputs.
+
+    Duck-types the solver attributes the field engine reads, so
+    :func:`field_plane` / :func:`field_xy` run unchanged on the
+    functional (vmap/shard_map-able) path.  Mirrors the data flow of the
+    reference's field methods (rcwa.py:598-1112) without the class state.
+
+    Args:
+      spec: the StackSpec the stack was solved with.
+      S: global S blocks from solve_stack_pair.
+      internals: its internals dict — requires ``with_modes=True`` (the
+        'C' mode-coupling entry) for stacks with layers.
+      E_i: incident amplitude cpair of shape [2N] or [2N, 1] (e.g. from
+        :func:`torcwa_tpu.fmm.source_planewave_pair`).
+      thicknesses: CONCRETE layer thicknesses (floats; the z-segment
+        assignment is host-side control flow, exactly like the
+        reference's per-z branching) — not traced.
+      omega: 2*pi*freq (may be traced, e.g. under a wavelength vmap).
+      eps_in/mu_in/eps_out/mu_out: cladding scalar cpairs (None -> 1
+        where applicable; eps defaults to free space).
+      source_direction: 'forward' | 'backward'.
+    """
+
+    def __init__(self, spec, S, internals, E_i, thicknesses, omega,
+                 eps_in=None, mu_in=None, eps_out=None, mu_out=None,
+                 source_direction='forward'):
+        kx = internals['kx']
+        rdtype = kx.dtype
+        one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
+        N = kx.shape[0]
+        self.order_N = N
+        self.omega = omega
+        self._rdtype = rdtype
+        self.Kx_norm_dn = (kx, jnp.zeros_like(kx))
+        self.Ky_norm_dn = (internals['ky'], jnp.zeros_like(kx))
+        ei = (jnp.reshape(E_i[0], (-1, 1)), jnp.reshape(E_i[1], (-1, 1)))
+        self.E_i_pair = ei
+        self.eps_in = eps_in if eps_in is not None else one
+        self.mu_in = mu_in if mu_in is not None else one
+        self.eps_out = eps_out if eps_out is not None else one
+        self.mu_out = mu_out if mu_out is not None else one
+        self.Vf = internals['Vf']
+        self._has_input_layer = spec.has_input
+        self._has_output_layer = spec.has_output
+        if spec.has_input:
+            self.Vi = internals['Vi']
+        if spec.has_output:
+            self.Vo = internals['Vo']
+        self.S = S
+        self.source_direction = source_direction
+        self.layer_N = spec.n_layers
+        self.thickness = [float(t) for t in np.asarray(thicknesses)]
+        if spec.n_layers:
+            if 'C' not in internals:
+                raise ValueError(
+                    'field reconstruction over internal layers needs '
+                    'solve_stack_pair(..., with_modes=True)')
+            self.C = internals['C']
+            take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
+            self.layers = [
+                _LayerView(take(internals['E'], i), take(internals['H'], i),
+                           take(internals['kz'], i))
+                for i in range(spec.n_layers)]
+            self.eps_conv = [take(internals['conv'], i)
+                             for i in range(spec.n_layers)]
+            self.mu_conv = [take(internals['mu_conv'], i)
+                            for i in range(spec.n_layers)]
+            self._layer_is_bd = [False] * spec.n_layers
+
+    def _out(self, pair):
+        return pair
 
 
 def _zphase(kz, omega, z):

@@ -21,8 +21,10 @@ Highlights vs the reference's eager object
 
 Conventions match the reference exactly: Lorentz-Heaviside units,
 exp(-j w t), Laurent-rule factorization, kz branch rules per layer type.
-Assumes mu = 1 everywhere (all reference examples do); magnetic materials
-are supported by the class API.
+Magnetic materials (mu != 1 claddings, scalar and patterned layer mu) and
+homogeneous fast-path layers are supported end to end (mu_* / eps_scalars
+arguments + StackSpec.homogeneous); with mu unset the mu = 1 structure is
+exploited for cheaper P/Q assembly.
 """
 
 import functools
@@ -49,7 +51,8 @@ from .ops.fourier import order_vectors, material_conv_pair
 
 __all__ = ['StackSpec', 'solve_stack_pair', 'sparam_xy_pair',
            'sparam_ps_pair', 'simulate_txx', 'diffraction_angle_pair',
-           'return_layer_pair']
+           'return_layer_pair', 'source_fourier_pair',
+           'source_planewave_pair']
 
 
 class StackSpec(NamedTuple):
@@ -59,6 +62,12 @@ class StackSpec(NamedTuple):
     n_layers: int
     has_input: bool = True
     has_output: bool = False
+    # Per-layer static flags; () means all patterned.  Homogeneous layers
+    # skip the dense 2Nx2N eig entirely and assemble their S-matrix in
+    # O(N) block-2x2-diagonal algebra (the class API's fast path,
+    # reference rcwa.py:156-168 dispatch), reading scalars from
+    # eps_scalars/mu_scalars instead of grid slices.
+    homogeneous: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +132,17 @@ def interface_out_pair(Vf, Vo):
     return interface_smatrix_out(Vf, Vo)
 
 
-def pq_pair(eps_conv, kx, ky):
-    """P, Q of a patterned layer with mu = 1 (split-real rcwa.py:1226-1232)."""
+def pq_pair(eps_conv, kx, ky, mu_conv=None):
+    """P, Q of a patterned layer (split-real rcwa.py:1226-1232).
+
+    With ``mu_conv=None`` the mu = 1 structure is exploited (constant
+    blocks stay diagonal); otherwise delegates to core.pq_matrices for
+    the general magnetic case."""
+    if mu_conv is not None:
+        kxp = (kx, jnp.zeros_like(kx))
+        kyp = (ky, jnp.zeros_like(ky))
+        from .core import pq_matrices
+        return pq_matrices(eps_conv, mu_conv, kxp, kyp)
     n = kx.shape[0]
     rdtype = kx.dtype
     einv = cplx.cinv(eps_conv)
@@ -185,8 +203,8 @@ def _layer_smatrix_tail(P, E, kz, Vf_inv, omega, thickness):
 
 
 def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                        broadening, backend):
-    P, Q = pq_pair(eps_conv, kx, ky)
+                        broadening, backend, mu_conv=None):
+    P, Q = pq_pair(eps_conv, kx, ky, mu_conv)
     A = cplx.cmm(P, Q)
     wr, wi, vr, vi = eig_pair(A[0], A[1], broadening, backend)
     # under the large-2N remat policy these four arrays are the ONLY
@@ -208,7 +226,7 @@ def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
 
 
 def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                       broadening, backend):
+                       broadening, backend, mu_conv=None):
     """Patterned-layer S-matrix, split-real (rcwa.py:1224-1281 pipeline).
 
     Returns (S11, S21, G, D, kz, E, H) — pairs.  S22 == S11, S12 == S21.
@@ -224,7 +242,7 @@ def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
     # tail (16.04G planned) beats a save-only-eig policy over the whole
     # body (16.37G) — the scheduler overlaps the longer remat chains
     return _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                               broadening, backend)
+                               broadening, backend, mu_conv)
 
 
 def redheffer_pair(Sm, Sn):
@@ -259,18 +277,32 @@ def _redheffer_impl(Sm, Sn):
 
 def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
                      eps_grids, thicknesses, eps_in=None, eps_out=None,
-                     broadening='auto', eig_backend='auto'):
-    """Global S-matrix of a stack of patterned layers, all split-real.
+                     broadening='auto', eig_backend='auto',
+                     mu_grids=None, eps_scalars=None, mu_scalars=None,
+                     mu_in=None, mu_out=None, with_modes=False):
+    """Global S-matrix of a layer stack, all split-real.
 
     Args:
-      spec: static StackSpec.
+      spec: static StackSpec.  ``spec.homogeneous`` flags layers that are
+        uniform media: they read scalars from ``eps_scalars``/
+        ``mu_scalars`` (in stack order) and skip the dense eig entirely
+        (O(N) bdp assembly, class-API fast path; rcwa.py:156-168).
       freq: real scalar (1/length).
       inc_ang, azi_ang: real scalars (radians).
-      eps_grids: pair of [n_layers, nx, ny] real arrays (re, im parts of
-        the layer permittivity rasters).
-      thicknesses: [n_layers] real.
+      eps_grids: pair of [n_patterned, nx, ny] real arrays (re, im parts
+        of the patterned layers' permittivity rasters, in stack order).
+      thicknesses: [n_layers] real (ALL layers).
       eps_in / eps_out: cladding permittivity pairs (re, im) scalars, if
         spec.has_input / has_output.
+      mu_grids: optional pair of [n_patterned, nx, ny] permeability
+        rasters (None -> mu = 1 structure exploited, rcwa.py:146-170).
+      eps_scalars / mu_scalars: pairs of [n_homogeneous] scalars for the
+        homogeneous layers (mu_scalars None -> mu = 1).
+      mu_in / mu_out: cladding permeability pairs (None -> 1).
+      with_modes: also propagate the per-layer mode-coupling matrices C
+        through the Redheffer fold (rcwa.py:1296-1304) so internal fields
+        can be reconstructed (fields.field_plane_pair); costs extra GEMMs
+        per fold step.
 
     Returns:
       S blocks [S11, S21, S12, S22] as dense pairs, plus a dict of
@@ -282,77 +314,271 @@ def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
     with jax.default_matmul_precision('highest'):
         return _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                                       thicknesses, eps_in, eps_out, broadening,
-                                      eig_backend)
+                                      eig_backend, mu_grids, eps_scalars,
+                                      mu_scalars, mu_in, mu_out, with_modes)
 
 
 def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                            thicknesses, eps_in, eps_out, broadening,
-                           eig_backend):
+                           eig_backend, mu_grids=None, eps_scalars=None,
+                           mu_scalars=None, mu_in=None, mu_out=None,
+                           with_modes=False):
     order, L = spec.order, spec.L
-    rdtype = eps_grids[0].dtype
+    rdtype = (eps_grids[0].dtype if eps_grids is not None
+              and np.size(eps_grids[0]) else eps_scalars[0].dtype)
     N = (2 * order[0] + 1) * (2 * order[1] + 1)
     omega = 2 * PI_REF * freq
+    one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
+    if mu_in is None:
+        mu_in = one
+    if mu_out is None:
+        mu_out = one
+
+    hmask = spec.homogeneous if spec.homogeneous else (
+        (False,) * spec.n_layers)
+    if len(hmask) != spec.n_layers:
+        raise ValueError('spec.homogeneous length != n_layers')
 
     if spec.has_input:
-        n_ref = cplx.csqrt(eps_in)[0]
+        n_ref = cplx.csqrt(cplx.cmul(eps_in, mu_in))[0]
     else:
         n_ref = jnp.asarray(1., rdtype)
     kx, ky = kvectors_real(freq, inc_ang, azi_ang, n_ref, order, L, rdtype)
+    kxp = (kx, jnp.zeros_like(kx))
+    kyp = (ky, jnp.zeros_like(ky))
 
-    one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
     kz_f = _kz_pair(one, kx, ky)
     Vf = vmat_pair(kx, ky, kz_f)
     Vf_inv = _bdp_inv(Vf)
 
-    nx, ny = eps_grids[0].shape[-2:]
+    n_pat = int(np.sum(~np.asarray(hmask, bool))) if spec.n_layers else 0
+    n_hom = spec.n_layers - n_pat
 
-    # conv matrices for all layers (vmapped DFT matmuls)
-    conv = jax.vmap(lambda gr, gi: dft_conv_pair((gr, gi), order, nx, ny))(
-        eps_grids[0], eps_grids[1])
+    # ---- patterned layers: vmapped conv + one batched eig ---------------
+    pat_sols = None
+    conv = None
+    mu_conv = None
+    if n_pat:
+        nx, ny = eps_grids[0].shape[-2:]
+        conv = jax.vmap(lambda gr, gi: dft_conv_pair((gr, gi), order,
+                                                     nx, ny))(
+            eps_grids[0], eps_grids[1])
+        t_pat = thicknesses[np.flatnonzero(~np.asarray(hmask, bool))]
+        if mu_grids is not None:
+            mu_conv = jax.vmap(
+                lambda gr, gi: dft_conv_pair((gr, gi), order, nx, ny))(
+                mu_grids[0], mu_grids[1])
 
-    # per-layer S-matrices (vmapped: one batched eig across layers)
-    def one_layer(cr, ci, t):
-        return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega, t,
-                                  broadening, eig_backend)
+            def one_layer(cr, ci, mr, mi, t):
+                return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
+                                          t, broadening, eig_backend,
+                                          mu_conv=(mr, mi))
+            args = (conv[0], conv[1], mu_conv[0], mu_conv[1], t_pat)
+        else:
+            def one_layer(cr, ci, t):
+                return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
+                                          t, broadening, eig_backend)
+            args = (conv[0], conv[1], t_pat)
+        if n_pat > 1:
+            pat_sols = jax.vmap(one_layer)(*args)
+        else:
+            pat_sols = jax.tree.map(
+                lambda x: x[None], one_layer(*(a[0] for a in args)))
 
-    if spec.n_layers > 1:
-        S11, S21, G, D, kz, E, H = jax.vmap(one_layer)(
-            conv[0], conv[1], thicknesses)
+    # ---- homogeneous layers: O(N) bdp assembly, densified for the fold --
+    hom_sols = None
+    if n_hom:
+        from .core import layer_smatrix_homogeneous
+        t_hom = thicknesses[np.flatnonzero(np.asarray(hmask, bool))]
+        if mu_scalars is None:
+            mu_scalars = (jnp.ones((n_hom,), rdtype),
+                          jnp.zeros((n_hom,), rdtype))
+
+        def one_hom(er, ei, mr, mi, t):
+            sol = layer_smatrix_homogeneous((er, ei), (mr, mi), kxp, kyp,
+                                            Vf, omega, t)
+            return (_bdp_dense(sol.S11), _bdp_dense(sol.S21),
+                    _bdp_dense(sol.G), _bdp_dense(sol.D), sol.kz,
+                    _bdp_dense(sol.E_eigvec), _bdp_dense(sol.H_eigvec))
+
+        hom_sols = jax.vmap(one_hom)(eps_scalars[0], eps_scalars[1],
+                                     mu_scalars[0], mu_scalars[1], t_hom)
+
+    # ---- interleave into stack order ------------------------------------
+    def layer_fields(i):
+        """(S11, S21, G, D, kz, E, H) dense pairs of stack layer i."""
+        if hmask[i]:
+            j = int(np.sum(np.asarray(hmask[:i], bool)))
+            return jax.tree.map(lambda x: x[j], hom_sols)
+        j = int(np.sum(~np.asarray(hmask[:i], bool)))
+        return jax.tree.map(lambda x: x[j], pat_sols)
+
+    per_layer = [layer_fields(i) for i in range(spec.n_layers)]
+
+    def stack_leaf(k):
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[pl[k] for pl in per_layer])
+
+    internals = dict(kx=kx, ky=ky, kz_f=kz_f, Vf=Vf)
+    if spec.n_layers:
+        internals.update(G=stack_leaf(2), D=stack_leaf(3), kz=stack_leaf(4),
+                         E=stack_leaf(5), H=stack_leaf(6))
+        # eps conv matrices of ALL layers in stack order (homogeneous ->
+        # eps * I), for diagnostics / field reconstruction
+        eye = jnp.eye(N, dtype=rdtype)
+        conv_all_r, conv_all_i = [], []
+        mu_all_r, mu_all_i = [], []
+        for i in range(spec.n_layers):
+            if hmask[i]:
+                j = int(np.sum(np.asarray(hmask[:i], bool)))
+                conv_all_r.append(eps_scalars[0][j] * eye)
+                conv_all_i.append(eps_scalars[1][j] * eye)
+                mu_all_r.append(mu_scalars[0][j] * eye)
+                mu_all_i.append(mu_scalars[1][j] * eye)
+            else:
+                j = int(np.sum(~np.asarray(hmask[:i], bool)))
+                conv_all_r.append(conv[0][j])
+                conv_all_i.append(conv[1][j])
+                if mu_conv is not None:
+                    mu_all_r.append(mu_conv[0][j])
+                    mu_all_i.append(mu_conv[1][j])
+                else:
+                    mu_all_r.append(eye)
+                    mu_all_i.append(jnp.zeros_like(eye))
+        internals['conv'] = (jnp.stack(conv_all_r), jnp.stack(conv_all_i))
+        internals['mu_conv'] = (jnp.stack(mu_all_r), jnp.stack(mu_all_i))
+
+    def dense_C(pl):
+        """(Cf, Cb) = ([G; D], [D; G]) dense [4N, 2N] pairs."""
+        G_, D_ = pl[2], pl[3]
+        cat = lambda a, b: (jnp.concatenate([a[0], b[0]], axis=0),
+                            jnp.concatenate([a[1], b[1]], axis=0))
+        return (cat(G_, D_), cat(D_, G_))
+
+    from .core import redheffer_update_modes
+
+    # ---- Redheffer fold over layers (+ optional C propagation) ----------
+    if spec.n_layers:
+        S = [per_layer[0][0], per_layer[0][1],
+             per_layer[0][1], per_layer[0][0]]
+        C = [dense_C(per_layer[0])] if with_modes else []
     else:
-        S11, S21, G, D, kz, E, H = jax.tree.map(
-            lambda x: x[None], one_layer(conv[0][0], conv[1][0],
-                                         thicknesses[0]))
-
-    internals = dict(G=G, D=D, kz=kz, E=E, H=H, conv=conv, kx=kx, ky=ky)
-
-    # Redheffer fold over layers
-    S = [jax.tree.map(lambda x: x[0], S11), jax.tree.map(lambda x: x[0], S21),
-         jax.tree.map(lambda x: x[0], S21), jax.tree.map(lambda x: x[0], S11)]
+        eyep = (jnp.eye(2 * N, dtype=rdtype),
+                jnp.zeros((2 * N, 2 * N), rdtype))
+        zerop = (jnp.zeros((2 * N, 2 * N), rdtype),
+                 jnp.zeros((2 * N, 2 * N), rdtype))
+        S = [eyep, zerop, zerop, eyep]
+        C = []
     for i in range(1, spec.n_layers):
-        Sn = [jax.tree.map(lambda x: x[i], S11), jax.tree.map(lambda x: x[i], S21),
-              jax.tree.map(lambda x: x[i], S21), jax.tree.map(lambda x: x[i], S11)]
-        S, _, _ = redheffer_pair(S, Sn)
+        pl_i = per_layer[i]
+        Sn = [pl_i[0], pl_i[1], pl_i[1], pl_i[0]]
+        S_new, t1, t2 = redheffer_pair(S, Sn)
+        if with_modes:
+            C = redheffer_update_modes(C, [dense_C(pl_i)], S, Sn, t1, t2)
+        S = S_new
 
     if spec.has_input:
-        kz_i = _kz_pair(eps_in, kx, ky)
+        kz_i = _kz_pair(cplx.cmul(eps_in, mu_in), kx, ky)
         Vi = vmat_pair(kx, ky, kz_i)
+        internals['Vi'] = Vi
         Sin = [_bdp_dense(b) for b in interface_in_pair(Vf, Vi)]
-        S, _, _ = redheffer_pair(Sin, S)
+        S_new, t1, t2 = redheffer_pair(Sin, S)
+        if with_modes:
+            C = redheffer_update_modes([], C, Sin, S, t1, t2)
+        S = S_new
 
     if spec.has_output:
-        kz_o = _kz_pair(eps_out, kx, ky)
+        kz_o = _kz_pair(cplx.cmul(eps_out, mu_out), kx, ky)
         Vo = vmat_pair(kx, ky, kz_o)
+        internals['Vo'] = Vo
         Sout = [_bdp_dense(b) for b in interface_out_pair(Vf, Vo)]
-        S, _, _ = redheffer_pair(S, Sout)
+        S_new, t1, t2 = redheffer_pair(S, Sout)
+        if with_modes:
+            C = redheffer_update_modes(C, [], S, Sout, t1, t2)
+        S = S_new
+
+    if with_modes:
+        internals['C'] = C
 
     return S, internals
 
 
+def source_fourier_pair(order, amplitude, orders, direction='forward',
+                        notation='xy', kx=None, ky=None, eps_in=None,
+                        mu_in=None, eps_out=None, mu_out=None,
+                        rdtype=jnp.float32):
+    """Incident Fourier amplitude vector for the functional path
+    (split-real twin of rcwa.py:539-596 / solver.source_fourier).
+
+    Args:
+      order: (order_x, order_y).
+      amplitude: [n_orders, 2] complex-like array (or (re, im) pair) of
+        per-order (x, y) — or (p, s) — amplitudes.
+      orders: [[m, n], ...] diffraction orders.
+      notation: 'xy' or 'ps'; 'ps' needs kx/ky (real arrays from
+        solve_stack_pair internals) + the relevant cladding eps/mu pairs.
+
+    Returns an E_i cpair of shape [2N].
+    """
+    N = (2 * order[0] + 1) * (2 * order[1] + 1)
+    if isinstance(amplitude, tuple):
+        amp = (jnp.asarray(amplitude[0], rdtype).reshape(-1, 2),
+               jnp.asarray(amplitude[1], rdtype).reshape(-1, 2))
+    else:
+        a = np.asarray(amplitude, dtype=np.complex128).reshape(-1, 2)
+        amp = (jnp.asarray(a.real, rdtype), jnp.asarray(a.imag, rdtype))
+    idx = _match(orders, order)
+
+    def scatter(comp):
+        v = jnp.zeros((2 * N,), rdtype)
+        v = v.at[idx].set(comp[:, 0])
+        return v.at[idx + N].set(comp[:, 1])
+
+    E_i = (scatter(amp[0]), scatter(amp[1]))
+    if notation == 'ps':
+        one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
+        if direction == 'forward':
+            eps = eps_in if eps_in is not None else one
+            mu = mu_in if mu_in is not None else one
+            sign = 1.
+        else:
+            eps = eps_out if eps_out is not None else one
+            mu = mu_out if mu_out is not None else one
+            sign = -1.
+        em = cplx.cmul(eps, mu)
+        kt = jnp.sqrt(kx ** 2 + ky ** 2)
+        kzc = cplx.csqrt((em[0] - kx ** 2 - ky ** 2,
+                          em[1] + jnp.zeros_like(kx)))
+        kz = sign * jnp.abs(kzc[0])
+        inc = jnp.arctan2(kt, kz)
+        azi = jnp.arctan2(ky, kx)
+        # ps->xy block-diagonal conversion (rcwa.py:589-594); real-valued
+        ex = jnp.cos(inc) * jnp.cos(azi) * E_i[0][:N] - jnp.sin(azi) * E_i[0][N:]
+        ey = jnp.cos(inc) * jnp.sin(azi) * E_i[0][:N] + jnp.cos(azi) * E_i[0][N:]
+        exi = jnp.cos(inc) * jnp.cos(azi) * E_i[1][:N] - jnp.sin(azi) * E_i[1][N:]
+        eyi = jnp.cos(inc) * jnp.sin(azi) * E_i[1][:N] + jnp.cos(azi) * E_i[1][N:]
+        E_i = (jnp.concatenate([ex, ey]), jnp.concatenate([exi, eyi]))
+    return E_i
+
+
+def source_planewave_pair(order, amplitude=(1., 0.), direction='forward',
+                          notation='xy', **kw):
+    """Planewave source = Fourier source at order (0, 0) (rcwa.py:526-537)."""
+    return source_fourier_pair(order, np.asarray(amplitude).reshape(1, 2),
+                               [[0, 0]], direction, notation, **kw)
+
+
 def sparam_xy_pair(S, kx, ky, eps_in, eps_out, order, orders, ref_order,
                    polarization='xx', direction='forward',
-                   port='transmission', evanescent=1e-3):
+                   port='transmission', evanescent=1e-3,
+                   mu_in=None, mu_out=None):
     """xy-polarization S-parameter extraction, split-real
-    (rcwa.py:346-408 with power_norm=True)."""
+    (rcwa.py:346-408 with power_norm=True).  Cladding kz uses
+    eps*mu when mu_in/mu_out are given (solver.py parity)."""
+    if mu_in is not None:
+        eps_in = cplx.cmul(eps_in, mu_in)
+    if mu_out is not None:
+        eps_out = cplx.cmul(eps_out, mu_out)
     N = (2 * order[0] + 1) * (2 * order[1] + 1)
     oi = _match(orders, order)
     ri = _match(np.asarray(ref_order).reshape(1, 2), order)
@@ -417,14 +643,20 @@ def simulate_txx(spec: StackSpec, freq, eps_grid_re, eps_grid_im,
 
 def sparam_ps_pair(S, kx, ky, eps_in, eps_out, order, orders, ref_order,
                    polarization='pp', direction='forward',
-                   port='transmission', evanescent=1e-3):
+                   port='transmission', evanescent=1e-3,
+                   mu_in=None, mu_out=None):
     """ps-polarization S-parameter extraction, split-real
     (rcwa.py:410-521): gather xx/xy/yx/yy, recombine with per-order
     inclination/azimuth cosines, power-normalize.
 
-    eps_in / eps_out: cladding permittivity pairs (re, im).
+    eps_in / eps_out: cladding permittivity pairs (re, im).  Cladding
+    kz uses eps*mu when mu_in/mu_out are given.
     Returns (re, im) of the ps-basis amplitude at the selected orders.
     """
+    if mu_in is not None:
+        eps_in = cplx.cmul(eps_in, mu_in)
+    if mu_out is not None:
+        eps_out = cplx.cmul(eps_out, mu_out)
     N = (2 * order[0] + 1) * (2 * order[1] + 1)
     oi = _match(orders, order)
     ri = _match(np.asarray(ref_order).reshape(1, 2), order)
