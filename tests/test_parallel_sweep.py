@@ -102,6 +102,41 @@ def test_sweep_and_grad_pytree_theta():
                                np.asarray(want_grad['b']), rtol=1e-6)
 
 
+def test_shard_sweep_realistic_order():
+    """Sharded wavelength sweep of a REAL RCWA solve at order (3, 3) /
+    64x64 grid vs the unsharded vmap — catches sharding bugs that only
+    bite at real shapes (padding x remat interaction, VERDICT r2 item
+    10); the toy tests above cannot."""
+    from torcwa_tpu import fmm
+
+    order = (3, 3)
+    nxy = 64
+    rng = np.random.default_rng(0)
+    grid = 1. + 8. * (rng.random((nxy, nxy)) > 0.5).astype(np.float32)
+    spec = fmm.StackSpec(order=order, L=(500., 500.), n_layers=1,
+                         has_input=True, has_output=False)
+    eps_in = (jnp.asarray(2.25, jnp.float32), jnp.asarray(0., jnp.float32))
+    gr = jnp.asarray(grid)[None]
+    gi = jnp.zeros_like(gr)
+    th = jnp.asarray([250.], jnp.float32)
+
+    # eig_backend='qr': the in-graph QR eigensolver (the TPU production
+    # path).  The host-LAPACK callback backend deadlocks against SPMD
+    # collective rendezvous on the virtual CPU mesh (the callback runs on
+    # the same thread pool the all-reduce participants block on).
+    def point(freq):
+        return fmm.simulate_txx(spec, freq, gr[0], gi[0], th[0],
+                                eps_in[0], eig_backend='qr')
+
+    freqs = jnp.asarray(1. / np.linspace(500., 700., 5), jnp.float32)
+    run = shard_sweep(point, sweep_mesh())
+    got = np.asarray(run(freqs))
+    want = np.asarray(jax.jit(jax.vmap(point))(freqs))
+    assert got.shape == want.shape == (5,)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+
+
 def test_dryrun_multichip_inprocess():
     """End-to-end: the driver's multichip dryrun on the virtual mesh.
 
