@@ -79,40 +79,40 @@ def fom(W):
 
 
 def main():
-    # notebook's hand-rolled ADAM (cell 2): ascent, lr decays 1 -> 0,
-    # denominator sqrt(v_hat + eps), clamp W to [50, 250]
-    gar_initial = 1.
-    beta1, beta2, epsilon = 0.9, 0.999, 1e-8
+    # library loop (optim.maximize_adam) with the notebook's settings:
+    # ascent, lr decays 1 -> 0, denominator sqrt(v_hat + eps)
+    # (eps_in_sqrt), clamp W to [50, 250].  Checkpoint/resume and the
+    # metrics callback compose (SURVEY §5).
+    from torcwa_tpu.optim import maximize_adam
+
     if os.path.exists(CKPT):
         st = load_state(CKPT)
-        W, m, v, it0 = st['W'], st['m'], st['v'], int(st['step'])
+        state = (st['W'], st['m'], st['v'], int(st['step']))
+        it0 = int(st['step'])
         history = [tuple(map(float, h)) for h in np.asarray(st['history'])]
         print(f'resumed from {CKPT} at iteration {it0}')
     else:
-        W = jnp.asarray([100., 50.], RDTYPE)
-        m = jnp.zeros_like(W)
-        v = jnp.zeros_like(W)
+        state = (jnp.asarray([100., 50.], RDTYPE),
+                 jnp.zeros(2, RDTYPE), jnp.zeros(2, RDTYPE), 0)
         it0 = 0
         history = []
 
-    vg = jax.jit(jax.value_and_grad(fom))
-    t0 = time.time()
-    for it in range(it0, ITERS):
-        f, g = vg(W)
-        gar = gar_initial * (1. - it / 400.)
-        m = beta1 * m + (1 - beta1) * g
-        v = beta2 * v + (1 - beta2) * g * g
-        W = W + gar * (m / (1 - beta1 ** (it + 1))) / jnp.sqrt(
-            v / (1 - beta2 ** (it + 1)) + epsilon)
-        W = jnp.clip(W, 50., 250.)
-        fv = float(f)
-        history.append((fv, float(W[0]), float(W[1])))
-        print(f'Iteration: {it} / Delta: {fv:.4f} / '
+    def callback(rec):
+        W = rec.params
+        history.append((rec.fom, float(W[0]), float(W[1])))
+        print(f'Iteration: {rec.step - 1} / Delta: {rec.fom:.4f} / '
               f'W: [{float(W[0]):.2f}, {float(W[1]):.2f}] / '
-              f'Elapsed time: {time.time() - t0:.0f} s', flush=True)
-        if (it + 1) % 50 == 0 or it + 1 == ITERS:
-            save_state(CKPT, {'W': W, 'm': m, 'v': v, 'step': it + 1,
+              f'Elapsed time: {rec.elapsed_s:.0f} s', flush=True)
+        if rec.step % 50 == 0 or rec.step == ITERS:
+            m, v, step = rec.opt_state
+            save_state(CKPT, {'W': W, 'm': m, 'v': v, 'step': step,
                               'history': jnp.asarray(history)})
+
+    t0 = time.time()
+    maximize_adam(fom, state[0], max(ITERS - it0, 0),
+                  lr_schedule=lambda step: 1. * (1. - step / 400.),
+                  lower=50., upper=250., eps_in_sqrt=True,
+                  callback=callback, state=state)
     n_it = max(ITERS - it0, 1)
     print(f'final FoM {history[-1][0]:.4f}  '
           f'({(time.time() - t0) / n_it:.2f} s/iter)')

@@ -101,15 +101,20 @@ def fom(rho, beta):
 
 
 def main():
+    # library loop (optim.maximize_adam): notebook's cosine lr schedule,
+    # exponential beta schedule as a per-iteration fom argument, mirror
+    # symmetrization as a post_update hook, eps-in-sqrt denominator.
+    from torcwa_tpu.optim import maximize_adam
+
     iter_max = 800
     beta_sched = np.exp(np.arange(iter_max) * np.log(1000.) / iter_max)
     lr_sched = 0.02 * 0.5 * (1. + np.cos(np.arange(iter_max)
                                          * np.pi / iter_max))
-    beta1, beta2, epsilon = 0.9, 0.999, 1e-8
 
     if os.path.exists(CKPT):
         st = load_state(CKPT)
-        rho, m, v, it0 = st['rho'], st['m'], st['v'], int(st['step'])
+        state = (st['rho'], st['m'], st['v'], int(st['step']))
+        it0 = int(st['step'])
         history = [float(h) for h in np.asarray(st['history'])]
         print(f'resumed from {CKPT} at iteration {it0}')
     else:
@@ -117,35 +122,31 @@ def main():
         rho = jax.random.uniform(key, (NX, NY), RDTYPE)
         rho = (rho + jnp.flip(rho, axis=1)) / 2.
         rho = BX @ rho @ BY.T
-        m = jnp.zeros_like(rho)
-        v = jnp.zeros_like(rho)
+        state = (rho, jnp.zeros_like(rho), jnp.zeros_like(rho), 0)
         it0 = 0
         history = []
 
-    vg = jax.jit(jax.value_and_grad(fom))
+    def symmetrize(rho, step):
+        return (rho + jnp.flip(rho, axis=1)) / 2.
 
-    @jax.jit
-    def update(rho, g, m, v, it, lr):
-        m = beta1 * m + (1 - beta1) * g
-        v = beta2 * v + (1 - beta2) * g * g
-        rho = rho + lr * (m / (1 - beta1 ** (it + 1))) / jnp.sqrt(
-            v / (1 - beta2 ** (it + 1)) + epsilon)
-        rho = jnp.clip(rho, 0., 1.)
-        rho = (rho + jnp.flip(rho, axis=1)) / 2.
-        return rho, m, v
+    def callback(rec):
+        history.append(rec.fom)
+        print(f'Iteration: {rec.step - 1} / FoM: {rec.fom:.4f} / '
+              f'Elapsed time: {rec.elapsed_s:.0f} s', flush=True)
+        if rec.step % 25 == 0 or rec.step == ITERS:
+            m, v, step = rec.opt_state
+            save_state(CKPT, {'rho': rec.params, 'm': m, 'v': v,
+                              'step': step,
+                              'history': jnp.asarray(history)})
 
     t0 = time.time()
-    for it in range(it0, ITERS):
-        f, g = vg(rho, jnp.asarray(beta_sched[it], RDTYPE))
-        rho, m, v = update(rho, g, m, v, it,
-                           jnp.asarray(lr_sched[it], RDTYPE))
-        fv = float(f)
-        history.append(fv)
-        print(f'Iteration: {it} / FoM: {fv:.4f} / '
-              f'Elapsed time: {time.time() - t0:.0f} s', flush=True)
-        if (it + 1) % 25 == 0 or it + 1 == ITERS:
-            save_state(CKPT, {'rho': rho, 'm': m, 'v': v, 'step': it + 1,
-                              'history': jnp.asarray(history)})
+    maximize_adam(
+        fom, state[0], max(ITERS - it0, 0),
+        lr_schedule=lambda step: jnp.asarray(lr_sched[step], RDTYPE),
+        fom_args_schedule=lambda step: (jnp.asarray(beta_sched[step],
+                                                    RDTYPE),),
+        lower=0., upper=1., eps_in_sqrt=True,
+        post_update=symmetrize, callback=callback, state=state)
     n_it = max(ITERS - it0, 1)
     print(f'final FoM {history[-1]:.4f}  '
           f'({(time.time() - t0) / n_it:.2f} s/iter)')

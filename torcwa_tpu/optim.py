@@ -24,19 +24,27 @@ def adam_init(rho):
     return zeros, jax.tree.map(jnp.zeros_like, rho), 0
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=('eps_in_sqrt',))
 def adam_update(rho, grad, m, v, step, lr=0.02, beta1=0.9, beta2=0.999,
-                eps=1e-8, lower=0., upper=1.):
+                eps=1e-8, lower=0., upper=1., eps_in_sqrt=False):
     """One ADAM step with bias correction and clamping to [lower, upper]
-    (the notebooks' ``rho[rho>1]=1`` idiom, functionalized)."""
+    (the notebooks' ``rho[rho>1]=1`` idiom, functionalized).
+
+    ``eps_in_sqrt=True`` reproduces the reference notebooks' denominator
+    ``sqrt(v_hat + eps)`` (Example5/6 cell 2) instead of the textbook
+    ``sqrt(v_hat) + eps``."""
     step = step + 1
     m = jax.tree.map(lambda m_, g: beta1 * m_ + (1 - beta1) * g, m, grad)
     v = jax.tree.map(lambda v_, g: beta2 * v_ + (1 - beta2) * g * g, v, grad)
     bc1 = 1 - beta1 ** step
     bc2 = 1 - beta2 ** step
+    if eps_in_sqrt:
+        den = lambda v_: jnp.sqrt(v_ / bc2 + eps)
+    else:
+        den = lambda v_: jnp.sqrt(v_ / bc2) + eps
     rho = jax.tree.map(
         lambda r, m_, v_: jnp.clip(
-            r - lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps), lower, upper),
+            r - lr * (m_ / bc1) / den(v_), lower, upper),
         rho, m, v)
     return rho, m, v, step
 
@@ -51,21 +59,25 @@ class IterationRecord(NamedTuple):
     fom: float
     grad_norm: float
     elapsed_s: float
-    params: object          # current parameter pytree (post-update)
+    params: object           # current parameter pytree (post-update)
+    opt_state: object = None  # (m, v, step) — for checkpoint/resume
 
 
 def maximize_adam(fom_fn, params0, n_iters, *, lr=0.02, beta1=0.9,
                   beta2=0.999, eps=1e-8, lower=0., upper=1.,
                   lr_schedule=None, callback=None, post_update=None,
-                  state=None):
+                  state=None, eps_in_sqrt=False, fom_args_schedule=None):
     """Gradient-ascent ADAM loop with structured per-iteration metrics.
 
     Mirrors the reference's hand-rolled notebook loops (Example5 cell 2,
-    Example6 cell 2): value-and-grad of ``fom_fn``, bias-corrected ADAM
-    ascent, clamping to [lower, upper], optional per-iteration learning
-    rate (``lr_schedule(it) -> lr``, e.g. Example5's linear decay or
-    Example6's cosine), and an optional ``post_update(params, it)`` hook
-    (e.g. Example6's mirror symmetrization).  ``callback(IterationRecord)``
+    Example6 cell 2): jitted value-and-grad of ``fom_fn``, bias-corrected
+    ADAM ascent, clamping to [lower, upper], optional per-iteration
+    learning rate (``lr_schedule(it) -> lr``, e.g. Example5's linear
+    decay or Example6's cosine), and an optional ``post_update(params,
+    step)`` hook (e.g. Example6's mirror symmetrization).
+    ``fom_args_schedule(it) -> tuple`` supplies extra per-iteration
+    arguments to ``fom_fn`` (e.g. Example6's binarization beta);
+    gradients are taken w.r.t. params only.  ``callback(IterationRecord)``
     fires every iteration.  ``state`` resumes from (params, m, v, step).
 
     Returns (params, (m, v, step), history) with history the list of
@@ -77,16 +89,18 @@ def maximize_adam(fom_fn, params0, n_iters, *, lr=0.02, beta1=0.9,
         params = params0
         m, v, step = adam_init(params0)
 
-    vg = jax.value_and_grad(fom_fn)
+    vg = jax.jit(jax.value_and_grad(fom_fn))
     history = []
     t0 = time.time()
     for it in range(n_iters):
-        f, g = vg(params)
+        extra = fom_args_schedule(step) if fom_args_schedule else ()
+        f, g = vg(params, *extra)
         lr_t = lr_schedule(step) if lr_schedule is not None else lr
         # ascend: ADAM on the negated gradient
         params, m, v, step = adam_update(
             params, jax.tree.map(jnp.negative, g), m, v, step, lr=lr_t,
-            beta1=beta1, beta2=beta2, eps=eps, lower=lower, upper=upper)
+            beta1=beta1, beta2=beta2, eps=eps, lower=lower, upper=upper,
+            eps_in_sqrt=eps_in_sqrt)
         if post_update is not None:
             params = post_update(params, step)
         gn = float(jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g))))
@@ -95,7 +109,7 @@ def maximize_adam(fom_fn, params0, n_iters, *, lr=0.02, beta1=0.9,
         if callback is not None:
             callback(IterationRecord(step=step, fom=fom, grad_norm=gn,
                                      elapsed_s=time.time() - t0,
-                                     params=params))
+                                     params=params, opt_state=(m, v, step)))
     return params, (m, v, step), history
 
 
