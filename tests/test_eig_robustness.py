@@ -46,6 +46,28 @@ def test_nonconvergence_poisons_with_nan_pallas():
     assert np.isfinite(np.asarray(jnp.diagonal(Tr[0]))).all()
 
 
+def test_antisymmetric_real_converges_batched():
+    """A real antisymmetric matrix (pure-imaginary spectrum) through the
+    BATCHED kernel: the exactly-real iteration must take the complex
+    discriminant branch once the stall gate opens (eig_qr_pallas
+    _CPLX_STALL) — with jnp.sign(0) semantics it never converged at all,
+    and with an ungated complex branch real-spectrum lanes pay ~15% more
+    sweeps (the round-2 order-6 bench regression)."""
+    rng = np.random.default_rng(3)
+    n = 24
+    B = rng.standard_normal((n, n))
+    A = B - B.T
+    Ar = jnp.asarray(A, jnp.float32)
+    Ai = jnp.zeros_like(Ar)
+    Tr, Ti, _, _, (hi_f, sweeps) = _eig_pallas_interp(
+        Ar, Ai, return_stats=True)
+    assert int(hi_f[0]) == 0
+    w = (np.asarray(jnp.diagonal(Tr[0]))
+         + 1j * np.asarray(jnp.diagonal(Ti[0])))
+    assert np.isfinite(w).all()
+    _check_eigvals(A, w, 1e-4)
+
+
 def test_nonconvergence_poisons_with_nan_xla():
     rng = np.random.default_rng(5)
     n = 16

@@ -191,6 +191,11 @@ def czeros(shape, rdtype=jnp.float32):
 # needs 17 MB vs the 16.25 MB limit) — map sweep lanes sequentially.
 _SOLVE_SEQ_MIN_N = 4096
 
+# Below this augmented size csolve uses the stock jnp.linalg.solve path
+# (faster at small n); at/above it the LU-as-residual custom VJP avoids
+# keeping M alive for the backward's re-factorization.
+_LU_RESIDUAL_MIN_N = 2048
+
 
 @jax.custom_batching.custom_vmap
 def _lu_fwd_impl(M, rhs):
@@ -268,7 +273,13 @@ def csolve(a, b):
     [[Ar, -Ai], [Ai, Ar]] [Xr; Xi] = [Br; Bi]  (one real LU, same flop count
     as a complex LU, lowers everywhere on TPU).  Under vmap, large systems
     solve lane-by-lane (lax.map) so the LU's scoped-VMEM panel stays
-    single-lane."""
+    single-lane.
+
+    Large augmented systems go through the LU-as-residual custom VJP
+    (each avoided re-factorization temporary is 417 MB at order 25);
+    small ones keep the stock ``jnp.linalg.solve`` whose XLA program
+    measured faster at order-6 bench scale (the custom path's extra
+    dispatch structure costs more than the re-factorization saves)."""
     ar, ai = a
     br, bi = b
     M = jnp.concatenate([
@@ -276,7 +287,11 @@ def csolve(a, b):
         jnp.concatenate([ai, ar], axis=-1),
     ], axis=-2)
     rhs = jnp.concatenate([br, bi], axis=-2)
-    x = _lu_solve(M, rhs)
+    if M.shape[-1] >= _LU_RESIDUAL_MIN_N:
+        x = _lu_solve(M, rhs)
+    else:
+        with jax.default_matmul_precision('highest'):
+            x = jnp.linalg.solve(M, rhs)
     n = ar.shape[-2]
     return x[..., :n, :], x[..., n:, :]
 

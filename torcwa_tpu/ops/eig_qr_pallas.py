@@ -51,6 +51,16 @@ _VMEM_BUDGET = 96 * 2 ** 20
 # kernel's GEMM temporaries to (b, _CHUNK, width) each)
 _CHUNK = 512
 
+# sweeps without deflation progress before an exactly-real lane is allowed
+# to take the complex discriminant branch (see the stall-gate comment in
+# _kernel_acc's shift computation).  Measured on the order-6 bench wave
+# matrices (chip, 8 lanes): gate=0 (eager complex) 872/1038 sweeps,
+# gate=6 911/1119, gate=inf 886/937 — the real tr/2 shift is the best
+# default and the complex branch is only needed to escape genuinely
+# complex-pair bottoms (antisymmetric spectra converge in ~46 sweeps at
+# n=24 once the gate opens), so keep the gate high but finite.
+_CPLX_STALL = 30
+
 
 def _kernel(hr_in, hi_in, ztr_in, zti_in,
             hr_ref, hi_ref, ztr_ref, zti_ref, *, max_iters: int, n: int,
@@ -347,7 +357,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                        axis=2, keepdims=True)
 
     def body(state):
-        hi, it = state
+        hi_prev, it, stall = state
         Hr = hr_ref[:]
         Hi = hi_ref[:]
 
@@ -361,8 +371,10 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         thresh = jnp.maximum(_F32EPS * (d + dshift), _SMLNUM)
         alive = sub2 > thresh * thresh
         lane = iota_n + 1
-        hi = jnp.max(jnp.where((lane <= hi) & alive, lane, 0),
+        hi = jnp.max(jnp.where((lane <= hi_prev) & alive, lane, 0),
                      axis=2, keepdims=True)
+        # per-lane stall counter: sweeps since the window last shrank
+        stall = jnp.where(hi < hi_prev, 0, stall + 1)
         alive_prev = pltpu.roll(alive.astype(jnp.float32),
                                 shift=1, axis=2) > 0.5
         lo = jnp.max(jnp.where((iota_n <= hi) &
@@ -387,12 +399,20 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         qi_ = 2 * trr * tri - 4 * deti
         qmag = jnp.sqrt(qr_ * qr_ + qi_ * qi_)
         dscr = jnp.sqrt(jnp.maximum((qmag + qr_) / 2, 0.))
-        # zero-safe branch sign: a NEGATIVE REAL discriminant (qi_ == 0,
-        # qmag > qr_) must still produce the +-i sqrt pair; jnp.sign(0)=0
-        # used to zero it, collapsing the Wilkinson shift to tr/2 and
-        # stalling pure-imaginary spectra (e.g. antisymmetric matrices)
-        dsci = jnp.where(qi_ >= 0, 1., -1.) * jnp.sqrt(
-            jnp.maximum((qmag - qr_) / 2, 0.))
+        # zero-safe branch sign, STALL-GATED: a NEGATIVE REAL discriminant
+        # (qi_ == 0, qmag > qr_) must eventually produce the +-i sqrt pair
+        # or pure-imaginary spectra (e.g. antisymmetric matrices) never
+        # converge — but taking the complex branch eagerly injects
+        # imaginary parts into an otherwise EXACTLY-REAL iteration (real
+        # eps -> real A=PQ -> qi_ == 0 every sweep), and the perturbed
+        # shifts cost ~15% more sweeps on real-spectrum RCWA matrices
+        # (measured: order-6 bench 0.0356 -> 0.0417 s/solve).  Real lanes
+        # keep the real tr/2 shift unless the window has not deflated for
+        # _CPLX_STALL sweeps; once a complex shift fires the lane's H has
+        # nonzero imag, qi_ != 0 from then on, and the gate never re-arms.
+        cplx_ok = (qi_ != 0.) | (stall >= _CPLX_STALL)
+        dsci = jnp.where(cplx_ok, jnp.where(qi_ >= 0, 1., -1.),
+                         0.) * jnp.sqrt(jnp.maximum((qmag - qr_) / 2, 0.))
         l1r, l1i = (trr + dscr) / 2, (tri + dsci) / 2
         l2r, l2i = (trr - dscr) / 2, (tri - dsci) / 2
         pick1 = ((l1r - dr_) ** 2 + (l1i - di_) ** 2 <
@@ -538,17 +558,24 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                     zti_ref[:, :width, c0:c1] = Zi2
             return f
 
-        widths = [min(256 * (i + 1), n) for i in range((n + 255) // 256)]
-        branch = jnp.minimum((hi_max + 2) // 256, len(widths) - 1)
+        # slab-width granularity: fine (128) buckets at small n, where the
+        # late-iteration small-window sweeps dominate and a coarse bucket
+        # quadruples their GEMM cost (measured 4 ms/solve on the order-6
+        # bench); coarse (256) at large n to bound the switch-branch count
+        gran = 128 if n <= 640 else 256
+        widths = [min(gran * (i + 1), n) for i in range((n + gran - 1)
+                                                        // gran)]
+        branch = jnp.minimum((hi_max + 2) // gran, len(widths) - 1)
         lax.switch(branch, [apply_slab(w) for w in widths])
-        return (hi, it + 1)
+        return (hi, it + 1, stall)
 
     def cond(state):
-        hi, it = state
+        hi, it, _ = state
         return jnp.any(hi > 0) & (it < max_iters)
 
     hi0 = jnp.full((b, 1, 1), n - 1, jnp.int32)
-    hi_f, it_f = lax.while_loop(cond, body, (hi0, jnp.int32(0)))
+    stall0 = jnp.zeros((b, 1, 1), jnp.int32)
+    hi_f, it_f, _ = lax.while_loop(cond, body, (hi0, jnp.int32(0), stall0))
 
     lower = rows > cols
     hr_ref[:] = jnp.where(lower, 0., hr_ref[:])
