@@ -10,15 +10,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
-import jax
-
-# The reference-compatible class API stores complex arrays, which this
-# TPU runtime does not lower; run it on CPU.  The TPU execution path is
-# the split-real torcwa_tpu.fmm module (see example1/3/6).
-if __name__ == '__main__':
-    jax.config.update('jax_platforms', 'cpu')
-
-
 import numpy as np
 import jax.numpy as jnp
 

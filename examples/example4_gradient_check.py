@@ -11,9 +11,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
 import jax
 
-# The reference-compatible class API stores complex arrays, which this
-# TPU runtime does not lower; run it on CPU.  The TPU execution path is
-# the split-real torcwa_tpu.fmm module (see example1/3/6).
+# This comparison needs float64 (central-difference truth at dR=0.005);
+# the TPU has no f64, so pin the CPU backend.
 if __name__ == '__main__':
     jax.config.update('jax_platforms', 'cpu')
 

@@ -202,8 +202,43 @@ def _layer_smatrix_tail(P, E, kz, Vf_inv, omega, thickness):
     return S11, S21, G, D, H
 
 
+def _layer_smatrix_tail_nomodes(P, E, kz, Vf_inv, omega, thickness):
+    """S-matrix assembly without the mode-coupling matrices G, D.
+
+    With Mp = (Apl+Bphi)^-1 and Mm = (Apl-Bphi)^-1 the reference's
+    blocks (rcwa.py:1276-1281) regroup as
+      S11 = Ephi(Mp+Mm) + E(Mp-Mm) = (Ephi+E) Mp + (Ephi-E) Mm
+      S21 = E(Mp+Mm) + Ephi(Mp-Mm) - I = (Ephi+E) Mp - (Ephi-E) Mm - I
+    so two right-solves replace two dense inverses plus four complex
+    GEMMs.  Mp/Mm/G/D never materialize; at order 25 that is the
+    difference between the fwd+grad graph fitting HBM and not.  Each
+    large solve is additionally checkpointed so the backward holds one
+    augmented-LU region at a time (417 MB each at order 25).
+    """
+    n2 = E[0].shape[-1]
+    rdtype = E[0].dtype
+    big = n2 >= _REMAT_MIN_2N
+    solve = jax.checkpoint(cplx.csolve) if big else cplx.csolve
+    rsolve = jax.checkpoint(cplx.crsolve) if big else cplx.crsolve
+    H = solve(P, cplx.scale_cols(E, kz))
+    W = _bdp_apply(Vf_inv, H)
+    Apl = cplx.cadd(E, W)
+    Bmn = cplx.csub(E, W)
+    phase = cplx.cexp_i((omega * thickness * kz[0], omega * thickness * kz[1]))
+    Bphi = cplx.scale_cols(Bmn, phase)
+    Ephi = cplx.scale_cols(E, phase)
+    U = cplx.cadd(Ephi, E)
+    V = cplx.csub(Ephi, E)
+    X1 = rsolve(cplx.cadd(Apl, Bphi), U)
+    X2 = rsolve(cplx.csub(Apl, Bphi), V)
+    S11 = cplx.cadd(X1, X2)
+    eye = (jnp.eye(n2, dtype=rdtype), jnp.zeros((n2, n2), rdtype))
+    S21 = cplx.csub(cplx.csub(X1, X2), eye)
+    return S11, S21, H
+
+
 def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                        broadening, backend, mu_conv=None):
+                        broadening, backend, mu_conv=None, need_modes=True):
     P, Q = pq_pair(eps_conv, kx, ky, mu_conv)
     A = cplx.cmm(P, Q)
     wr, wi, vr, vi = eig_pair(A[0], A[1], broadening, backend)
@@ -218,18 +253,25 @@ def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
     flip = kz[1] < 0
     kz = (jnp.where(flip, -kz[0], kz[0]), jnp.where(flip, -kz[1], kz[1]))
     E = (vr, vi)
-    tail = _layer_smatrix_tail
-    if E[0].shape[-1] >= _REMAT_MIN_2N:
-        tail = jax.checkpoint(_layer_smatrix_tail)
-    S11, S21, G, D, H = tail(P, E, kz, Vf_inv, omega, thickness)
-    return S11, S21, G, D, kz, E, H
+    big = E[0].shape[-1] >= _REMAT_MIN_2N
+    if need_modes:
+        tail = jax.checkpoint(_layer_smatrix_tail) if big \
+            else _layer_smatrix_tail
+        S11, S21, G, D, H = tail(P, E, kz, Vf_inv, omega, thickness)
+        return S11, S21, G, D, kz, E, H
+    tail = jax.checkpoint(_layer_smatrix_tail_nomodes) if big \
+        else _layer_smatrix_tail_nomodes
+    S11, S21, H = tail(P, E, kz, Vf_inv, omega, thickness)
+    return S11, S21, kz, E, H
 
 
 def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                       broadening, backend, mu_conv=None):
+                       broadening, backend, mu_conv=None, need_modes=True):
     """Patterned-layer S-matrix, split-real (rcwa.py:1224-1281 pipeline).
 
-    Returns (S11, S21, G, D, kz, E, H) — pairs.  S22 == S11, S12 == S21.
+    Returns (S11, S21, G, D, kz, E, H) pairs when ``need_modes``, else
+    (S11, S21, kz, E, H) via the cheaper no-modes tail.  S22 == S11,
+    S12 == S21 (symmetric free-space-referenced layer).
 
     Above _REMAT_MIN_2N the whole layer is rematerialized in the
     backward except the eig outputs (checkpoint_name policy): storing
@@ -237,12 +279,11 @@ def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
     overflows HBM, while recomputing the algebra costs a few extra
     GEMM/LU passes.
     """
-    n2 = 2 * kx.shape[0]
     # measured on the order-25 fwd+grad graph: checkpointing only the
     # tail (16.04G planned) beats a save-only-eig policy over the whole
     # body (16.37G) — the scheduler overlaps the longer remat chains
     return _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                               broadening, backend, mu_conv)
+                               broadening, backend, mu_conv, need_modes)
 
 
 def redheffer_pair(Sm, Sn):
@@ -372,12 +413,14 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
             def one_layer(cr, ci, mr, mi, t):
                 return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
                                           t, broadening, eig_backend,
-                                          mu_conv=(mr, mi))
+                                          mu_conv=(mr, mi),
+                                          need_modes=with_modes)
             args = (conv[0], conv[1], mu_conv[0], mu_conv[1], t_pat)
         else:
             def one_layer(cr, ci, t):
                 return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
-                                          t, broadening, eig_backend)
+                                          t, broadening, eig_backend,
+                                          need_modes=with_modes)
             args = (conv[0], conv[1], t_pat)
         if n_pat > 1:
             pat_sols = jax.vmap(one_layer)(*args)
@@ -397,16 +440,18 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
         def one_hom(er, ei, mr, mi, t):
             sol = layer_smatrix_homogeneous((er, ei), (mr, mi), kxp, kyp,
                                             Vf, omega, t)
-            return (_bdp_dense(sol.S11), _bdp_dense(sol.S21),
-                    _bdp_dense(sol.G), _bdp_dense(sol.D), sol.kz,
-                    _bdp_dense(sol.E_eigvec), _bdp_dense(sol.H_eigvec))
+            mode_part = (_bdp_dense(sol.G), _bdp_dense(sol.D)) \
+                if with_modes else ()
+            return (_bdp_dense(sol.S11), _bdp_dense(sol.S21)) + mode_part + (
+                sol.kz, _bdp_dense(sol.E_eigvec), _bdp_dense(sol.H_eigvec))
 
         hom_sols = jax.vmap(one_hom)(eps_scalars[0], eps_scalars[1],
                                      mu_scalars[0], mu_scalars[1], t_hom)
 
     # ---- interleave into stack order ------------------------------------
     def layer_fields(i):
-        """(S11, S21, G, D, kz, E, H) dense pairs of stack layer i."""
+        """Dense pairs of stack layer i: (S11, S21[, G, D], kz, E, H) —
+        the G, D slots are present only when ``with_modes``."""
         if hmask[i]:
             j = int(np.sum(np.asarray(hmask[:i], bool)))
             return jax.tree.map(lambda x: x[j], hom_sols)
@@ -421,8 +466,11 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
 
     internals = dict(kx=kx, ky=ky, kz_f=kz_f, Vf=Vf)
     if spec.n_layers:
-        internals.update(G=stack_leaf(2), D=stack_leaf(3), kz=stack_leaf(4),
-                         E=stack_leaf(5), H=stack_leaf(6))
+        base = 4 if with_modes else 2
+        if with_modes:
+            internals.update(G=stack_leaf(2), D=stack_leaf(3))
+        internals.update(kz=stack_leaf(base), E=stack_leaf(base + 1),
+                         H=stack_leaf(base + 2))
         # eps conv matrices of ALL layers in stack order (homogeneous ->
         # eps * I), for diagnostics / field reconstruction
         eye = jnp.eye(N, dtype=rdtype)

@@ -301,3 +301,16 @@ def cinv(a):
     eye = jnp.eye(n, dtype=a[0].dtype)
     eye = jnp.broadcast_to(eye, a[0].shape)
     return csolve(a, (eye, jnp.zeros_like(eye)))
+
+
+def ctrans(a):
+    """Non-conjugating transpose of a pair."""
+    return jnp.swapaxes(a[0], -1, -2), jnp.swapaxes(a[1], -1, -2)
+
+
+def crsolve(a, b):
+    """Right-solve X = B A^{-1} via X^T = A^{-T} B^T (no conjugation).
+
+    Same augmented-LU machinery as csolve; the three transposes are
+    O(n^2) copies against the O(n^3) factorization."""
+    return ctrans(csolve(ctrans(a), ctrans(b)))
