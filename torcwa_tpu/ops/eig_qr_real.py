@@ -28,14 +28,16 @@ from jax import lax
 
 __all__ = ['eig_qr_real', 'eig_qr_split']
 
-# Single-matrix solves at n >= this use the multishift Schur kernel
-# (eig_qr_pallas_ms); smaller/batched solves use the batched single-shift
-# kernel where the batch already amortizes the per-step overhead.
-_MS_MIN_N = 512
-_MS_SHIFTS = 8
-# Above this the six resident (n, n) arrays blow the v5e VMEM budget;
-# route through the HBM-resident pipeline (blocked WY Hessenberg +
-# windowed-multishift HBM Schur + row-block eigenvector solve).
+# Single-matrix solves at n >= this use the HBM-resident pipeline
+# (blocked WY Hessenberg + windowed-multishift HBM Schur QR with
+# in-kernel AED + row-block eigenvector solve).  Measured on chip, the
+# AED pipeline beats the VMEM-resident multishift kernel at every
+# n >= 512 (0.24 vs 0.32 s at n=512, 0.45 vs 0.95 at n=882, 0.57 vs
+# 1.52 at n=1054); below 512 the batched single-shift kernel wins.
+_HBM_MIN_N_SINGLE = 512
+# Batched solves hold VMEM-chunked lanes in the batched kernel up to
+# this n (the batch amortizes per-step overhead); above it even one
+# matrix fills VMEM and lanes run sequentially through the HBM pipeline.
 _HBM_MIN_N = 1300
 _HBM_SHIFTS = 16
 _HBM_WINDOW = 512
@@ -394,7 +396,7 @@ def _eig_real_single(Ar, Ai):
     with jax.default_matmul_precision('highest'):
         n_in = Ar.shape[-1]
         on_cpu = jax.default_backend() == 'cpu'
-        if not on_cpu and n_in >= _HBM_MIN_N:
+        if not on_cpu and n_in >= _HBM_MIN_N_SINGLE:
             # large-n path: nothing holds a full batch in VMEM
             from .hess_blocked import hessenberg_blocked
             from .eig_qr_hbm import schur_qr_hbm
@@ -416,20 +418,8 @@ def _eig_real_single(Ar, Ai):
             # XLA-loop QR: fine on CPU, ~25us/rotation on the TPU runtime
             Tr, Ti, Zr, Zi = schur_qr_real(Hr, Hi, Qr, Qi)
         else:
-            n = Hr.shape[-1]
-            if n >= _MS_MIN_N:
-                # single-matrix large-n path: multishift kernel (m bulges
-                # per sweep amortize the deferred-column GEMMs)
-                from .eig_qr_pallas import eig_tri_vectors_pallas
-                from .eig_qr_pallas_ms import schur_qr_pallas_ms
-                Tr, Ti, Zr, Zi = schur_qr_pallas_ms(Hr, Hi, Qr, Qi,
-                                                    m=_MS_SHIFTS)
-                wr = jnp.diagonal(Tr)
-                wi = jnp.diagonal(Ti)
-                Vr, Vi = eig_tri_vectors_pallas(Tr[None], Ti[None],
-                                                Zr[None], Zi[None])
-                return wr, wi, Vr[0], Vi[0]
-            # single matrix = batch of 1 through the batched kernels
+            # single matrix (n < _HBM_MIN_N_SINGLE) = batch of 1 through
+            # the batched kernels
             from .eig_qr_pallas import (schur_qr_pallas_acc,
                                         eig_tri_vectors_pallas)
             Tr, Ti, Zr, Zi = schur_qr_pallas_acc(Hr[None], Hi[None],
