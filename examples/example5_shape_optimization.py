@@ -98,7 +98,7 @@ def main():
         history = []
 
     def callback(rec):
-        W = rec.params
+        W = np.asarray(rec.params)      # one device fetch, not one per elem
         history.append((rec.fom, float(W[0]), float(W[1])))
         print(f'Iteration: {rec.step - 1} / Delta: {rec.fom:.4f} / '
               f'W: [{float(W[0]):.2f}, {float(W[1]):.2f}] / '

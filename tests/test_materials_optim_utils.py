@@ -71,6 +71,36 @@ def test_adam_clamps():
     assert float(rho[0]) <= 1.0
 
 
+def test_maximize_adam_full_surface():
+    """The Example6 combination: lr schedule, per-iteration extra fom
+    args, post_update hook, callback records, and state resume."""
+    from torcwa_tpu.optim import maximize_adam
+
+    target = jnp.asarray([0.3, 0.6])
+
+    def fom(r, beta):
+        return -jnp.sum(beta * (r - target) ** 2)
+
+    recs = []
+    params, (m, v, step), hist = maximize_adam(
+        fom, jnp.asarray([0.9, 0.1]), 60, lr=0.05,
+        lr_schedule=lambda s: 0.05 * (1. - s / 200.),
+        fom_args_schedule=lambda s: (jnp.asarray(1. + 0.01 * s),),
+        post_update=lambda p, s: jnp.clip(p, 0.05, 0.95),
+        callback=recs.append)
+    assert step == 60 and len(recs) == 60 and len(hist) == 60
+    assert recs[-1].step == 60
+    assert np.isfinite(recs[-1].grad_norm)
+    assert hist[-1][0] > hist[0][0]          # FoM ascended
+    # resume from the returned state: step counter continues, params move
+    params2, (m2, v2, step2), _ = maximize_adam(
+        fom, None, 5, lr=0.01, state=(params, m, v, step),
+        fom_args_schedule=lambda s: (jnp.asarray(1.),))
+    assert step2 == 65
+    assert float(jnp.sum((params2 - target) ** 2)) <= \
+        float(jnp.sum((params - target) ** 2)) + 1e-6
+
+
 def test_gaussian_blur_preserves_mean_and_smooths():
     rng = np.random.default_rng(0)
     rho = jnp.asarray(rng.uniform(size=(64, 32)), jnp.float32)

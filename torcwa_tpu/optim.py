@@ -89,28 +89,41 @@ def maximize_adam(fom_fn, params0, n_iters, *, lr=0.02, beta1=0.9,
         params = params0
         m, v, step = adam_init(params0)
 
-    vg = jax.jit(jax.value_and_grad(fom_fn))
+    # One fused dispatch per iteration (value_and_grad + ADAM update +
+    # grad norm) and ONE host sync for the (fom, grad_norm) scalars; on
+    # the TPU tunnel runtime each extra dispatch/sync costs ~30-50 ms,
+    # which dominated small-solve optimization loops.
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def _step(params, m, v, step, lr_t, n_extra, *extra):
+        f, g = jax.value_and_grad(fom_fn)(params, *extra)
+        new = adam_update(params, jax.tree.map(jnp.negative, g), m, v,
+                          step, lr=lr_t, beta1=beta1, beta2=beta2, eps=eps,
+                          lower=lower, upper=upper, eps_in_sqrt=eps_in_sqrt)
+        gn = jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g)))
+        return new + (jnp.stack([f, gn]),)
+
     history = []
-    t0 = time.time()
+    step_h = int(step)      # host mirror of the step counter (schedules,
+    t0 = time.time()        # records) — the device copy is never synced
     for it in range(n_iters):
-        extra = fom_args_schedule(step) if fom_args_schedule else ()
-        f, g = vg(params, *extra)
-        lr_t = lr_schedule(step) if lr_schedule is not None else lr
-        # ascend: ADAM on the negated gradient
-        params, m, v, step = adam_update(
-            params, jax.tree.map(jnp.negative, g), m, v, step, lr=lr_t,
-            beta1=beta1, beta2=beta2, eps=eps, lower=lower, upper=upper,
-            eps_in_sqrt=eps_in_sqrt)
+        extra = fom_args_schedule(step_h) if fom_args_schedule else ()
+        lr_t = lr_schedule(step_h) if lr_schedule is not None else lr
+        # lr is traced (a new Python float per iteration would retrace);
+        # cast to the param dtype so x64 schedules don't promote params
+        lr_arr = jnp.asarray(lr_t, dtype=jax.tree.leaves(params)[0].dtype)
+        params, m, v, step, scalars = _step(params, m, v, step, lr_arr,
+                                            len(extra), *extra)
+        step_h += 1
         if post_update is not None:
-            params = post_update(params, step)
-        gn = float(jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g))))
-        fom = float(f)
+            params = post_update(params, step_h)
+        fom, gn = (float(x) for x in np.asarray(scalars))
         history.append((fom, gn))
         if callback is not None:
-            callback(IterationRecord(step=step, fom=fom, grad_norm=gn,
+            callback(IterationRecord(step=step_h, fom=fom, grad_norm=gn,
                                      elapsed_s=time.time() - t0,
-                                     params=params, opt_state=(m, v, step)))
-    return params, (m, v, step), history
+                                     params=params,
+                                     opt_state=(m, v, step_h)))
+    return params, (m, v, step_h), history
 
 
 def gaussian_blur(rho, sigma_cells):
