@@ -41,13 +41,19 @@ if __name__ == '__main__':
     sim.source_planewave(amplitude=[1., 0.], direction='forward')
     x = jnp.linspace(0., L[0], 101)
     z = jnp.linspace(-300., 700., 101)
+    def abs2(t):
+        """|t|^2 for complex arrays (CPU) or (re, im) pairs (TPU)."""
+        if isinstance(t, tuple):
+            return t[0] ** 2 + t[1] ** 2
+        return jnp.abs(t) ** 2
+
     (Ex, Ey, Ez), (Hx, Hy, Hz) = sim.field_xz(x, z, y=L[1] / 2.)
-    I = jnp.abs(Ex) ** 2 + jnp.abs(Ey) ** 2 + jnp.abs(Ez) ** 2
+    I = abs2(Ex) + abs2(Ey) + abs2(Ez)
     print(f'\n|E|^2 over the xz plane: min {float(I.min()):.4f} '
           f'max {float(I.max()):.4f}')
 
     (Exs, Eys, Ezs), _ = sim.field_xy(layer_num=0, x_axis=x, y_axis=x,
                                       z_prop=200.)
-    Ixy = jnp.abs(Exs) ** 2 + jnp.abs(Eys) ** 2 + jnp.abs(Ezs) ** 2
+    Ixy = abs2(Exs) + abs2(Eys) + abs2(Ezs)
     print(f'|E|^2 at mid-layer xy cut: min {float(Ixy.min()):.4f} '
           f'max {float(Ixy.max()):.4f}')
