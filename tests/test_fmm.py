@@ -208,3 +208,36 @@ def test_fmm_diagnostics_twins():
     g = np.asarray(grid[0])
     assert abs(g.mean() - np.asarray(eps).mean()) < 1e-2
     assert g[32, 32] > 3.0 and g[2, 2] < 2.0
+
+
+def test_modes_vs_nomodes_smatrix_and_grad():
+    """with_modes=False routes the layer tail through right-solves
+    (S11=(Ephi+E)Mp+(Ephi-E)Mm); the S blocks and gradients must match
+    the with_modes=True inverse+GEMM algebra."""
+    geom = _geom()
+    spec = fmm.StackSpec(order=(3, 3), L=L, n_layers=1, has_input=True)
+    grid = geom * SI + (1. - geom)
+    r64 = jnp.float64
+    er = jnp.asarray(grid.real)
+    ei = jnp.asarray(grid.imag)
+
+    def txx(er_, wm):
+        S, intr = fmm.solve_stack_pair(
+            spec, jnp.asarray(1 / 532., r64), jnp.asarray(0., r64),
+            jnp.asarray(0., r64), (er_[None], ei[None]),
+            jnp.asarray([300.], r64),
+            eps_in=(jnp.asarray(SUB, r64), jnp.asarray(0., r64)),
+            with_modes=wm)
+        one = (jnp.asarray(1., r64), jnp.asarray(0., r64))
+        tr, ti = fmm.sparam_xy_pair(S, intr['kx'], intr['ky'],
+                                    (jnp.asarray(SUB, r64),
+                                     jnp.asarray(0., r64)), one,
+                                    spec.order, [0, 0], [0, 0], 'xx')
+        return (tr ** 2 + ti ** 2)[0]
+
+    v1, g1 = jax.value_and_grad(lambda e: txx(e, True))(er)
+    v0, g0 = jax.value_and_grad(lambda e: txx(e, False))(er)
+    assert np.isclose(float(v1), float(v0), rtol=1e-9), (v1, v0)
+    rel = np.abs(np.asarray(g1) - np.asarray(g0)).max() / \
+        np.abs(np.asarray(g1)).max()
+    assert rel < 1e-7, rel
