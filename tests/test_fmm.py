@@ -241,3 +241,53 @@ def test_modes_vs_nomodes_smatrix_and_grad():
     rel = np.abs(np.asarray(g1) - np.asarray(g0)).max() / \
         np.abs(np.asarray(g1)).max()
     assert rel < 1e-7, rel
+
+
+def test_twisted_multilayer_homogeneous_fast_path():
+    """Example1-1 configuration at order 2: three rotated patterned
+    layers interleaved with homogeneous spacers routed through the
+    O(N) bdp fast path must match the class API (which densifies every
+    layer) on all four polarization transfer elements."""
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=96, ny=96, edge_sharpness=1000.)
+    rects = [np.asarray(g.rectangle(180., 100., 150., 150., theta=th),
+                        np.float64)
+             for th in (0., np.pi / 6., np.pi / 3.)]
+    si = 4.2 + 0.3j
+    su8 = 1.6 ** 2
+    r64 = jnp.float64
+
+    # class API: every layer added explicitly (spacers become eps*I)
+    sim = tt.rcwa(freq=1 / 650., order=[2, 2], L=list(L),
+                  dtype=jnp.complex128)
+    sim.add_input_layer(eps=1.46 ** 2)
+    sim.set_incident_angle(inc_ang=0., azi_ang=0.)
+    for r in rects:
+        eps = jnp.asarray(r * si + (1. - r) * su8, jnp.complex128)
+        sim.add_layer(thickness=200., eps=eps)
+        sim.add_layer(thickness=100., eps=su8)
+    sim.solve_global_smatrix()
+    t_cl = {}
+    for pol in ('xx', 'yx', 'xy', 'yy'):
+        t_cl[pol] = complex(sim.S_parameters(
+            orders=[0, 0], direction='forward', port='transmission',
+            polarization=pol, ref_order=[0, 0])[0])
+
+    # functional path: spacers via StackSpec.homogeneous (no dense eig)
+    spec = fmm.StackSpec(order=(2, 2), L=L, n_layers=6, has_input=True,
+                         homogeneous=(False, True) * 3)
+    eps_r = jnp.stack([jnp.asarray(r * si.real + (1. - r) * su8)
+                       for r in rects])
+    eps_i = jnp.stack([jnp.asarray(r * si.imag) for r in rects])
+    zero = jnp.asarray(0., r64)
+    S, intr = fmm.solve_stack_pair(
+        spec, jnp.asarray(1 / 650., r64), zero, zero, (eps_r, eps_i),
+        jnp.asarray([200., 100.] * 3, r64),
+        eps_in=(jnp.asarray(1.46 ** 2, r64), zero),
+        eps_scalars=(jnp.full((3,), su8, r64), jnp.zeros(3, r64)))
+    one = (jnp.asarray(1., r64), zero)
+    for pol in ('xx', 'yx', 'xy', 'yy'):
+        tr, ti = fmm.sparam_xy_pair(S, intr['kx'], intr['ky'],
+                                    (jnp.asarray(1.46 ** 2, r64), zero),
+                                    one, spec.order, [0, 0], [0, 0], pol)
+        t_fn = complex(float(tr[0]), float(ti[0]))
+        assert abs(t_fn - t_cl[pol]) < 1e-8, (pol, t_fn, t_cl[pol])
