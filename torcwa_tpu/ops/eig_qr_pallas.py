@@ -61,6 +61,14 @@ _CHUNK = 512
 # n=24 once the gate opens), so keep the gate high but finite.
 _CPLX_STALL = 30
 
+# independent deflation windows chased concurrently per sweep in the
+# deferred-column kernel (one bulge each; runs are disjoint so a single
+# (x, y) carry serves all of them).  The sweep count — the kernel's cost
+# driver, at ~120us fixed per sweep vs ~0.3us per rotation — drops
+# ~2.2-2.4x on RCWA wave matrices, which deflate mid-matrix constantly
+# (mean 2.8 alive runs per sweep; diminishing returns past 4 runs).
+_NRUNS = 4
+
 
 def _kernel(hr_in, hi_in, ztr_in, zti_in,
             hr_ref, hi_ref, ztr_ref, zti_ref, *, max_iters: int, n: int,
@@ -356,15 +364,55 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         return jnp.sum(jnp.where(iota_n == j, vec_row, 0.),
                        axis=2, keepdims=True)
 
+    # prefix-bucket widths shared by the deflation scan, the W reset, and
+    # the deferred-column epilogue: everything the sweep touches lives in
+    # the [0, max(hi)+2) prefix, which shrinks as lanes deflate.  slab-
+    # width granularity: fine (128) buckets at small n, where the late
+    # small-window sweeps dominate; coarse (256) at large n to bound the
+    # switch-branch count.
+    gran = 128 if n <= 640 else 256
+    widths = [min(gran * (i + 1), n) for i in range((n + gran - 1) // gran)]
+
     def body(state):
         hi_prev, it, stall = state
-        Hr = hr_ref[:]
-        Hi = hi_ref[:]
+
+        # ---- deflation scan on the live prefix ----------------------------
+        # Extracting the three diagonals costs 6 masked (b, w, w)
+        # reductions; with the per-sweep fixed cost dominating this kernel
+        # (~120us vs ~0.3us/rotation), scanning the full (b, n, n) on
+        # every late small-window sweep was a measured ~25% of total time.
+        # The W reset rides the same switch (rotations only touch rows
+        # < hi+2 <= w, and the epilogue only reads W[:width <= w]).
+        def scan_slab(w):
+            def f():
+                Hr = hr_ref[:, :w, :w]
+                Hi = hi_ref[:, :w, :w]
+                rw = lax.broadcasted_iota(jnp.int32, (b, w, w), 1)
+                cw = lax.broadcasted_iota(jnp.int32, (b, w, w), 2)
+                outs = []
+                for off in (0, -1, 1):
+                    msk = rw == (cw - off)
+                    pr = jnp.sum(jnp.where(msk, Hr, 0.), axis=1,
+                                 keepdims=True)
+                    pi = jnp.sum(jnp.where(msk, Hi, 0.), axis=1,
+                                 keepdims=True)
+                    if w < n:
+                        z = jnp.zeros((b, 1, n - w), jnp.float32)
+                        pr = jnp.concatenate([pr, z], axis=2)
+                        pi = jnp.concatenate([pi, z], axis=2)
+                    outs += [pr, pi]
+                wr_ref[:, :w, :] = eye[:, :w, :]
+                wi_ref[:, :w, :] = jnp.zeros((b, w, n), jnp.float32)
+                return tuple(outs)
+            return f
+
+        branch_s = jnp.minimum((jnp.max(hi_prev) + 2) // gran,
+                               len(widths) - 1)
+        dr, di, sr_, si_, supr, supi = lax.switch(
+            branch_s, [scan_slab(w) for w in widths])
 
         # ---- deflation window (same rules as v2) --------------------------
-        dr, di = diag_vec(Hr, Hi, 0)
         d = jnp.sqrt(dr * dr + di * di)
-        sr_, si_ = diag_vec(Hr, Hi, -1)
         sub2 = sr_ * sr_ + si_ * si_
         dshift = jnp.where(iota_n == n - 1, 0.,
                            pltpu.roll(d, shift=n - 1, axis=2))
@@ -381,17 +429,19 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                                ((iota_n == 0) | ~alive_prev),
                                iota_n, 0), axis=2, keepdims=True)
 
-        # ---- Wilkinson / exceptional shift --------------------------------
-        him1 = jnp.maximum(hi - 1, 0)
-        ar = at_lane(dr, him1)
-        ai = at_lane(di, him1)
-        dr_ = at_lane(dr, hi)
-        di_ = at_lane(di, hi)
-        supr, supi = diag_vec(Hr, Hi, 1)
-        br = at_lane(supr, hi)
-        bi = at_lane(supi, hi)
-        cr = at_lane(sr_, him1)
-        ci = at_lane(si_, him1)
+        # ---- per-position Wilkinson shifts, vectorized over window tops ---
+        # Lane h holds the shift of a window whose TOP is at h, from the
+        # trailing 2x2 [[H[h-1,h-1], H[h-1,h]], [H[h,h-1], H[h,h]]].  Every
+        # ingredient is a (b, 1, n) roll of the diagonal vectors, so ALL
+        # possible tops cost one vector pass — the per-run shift is then a
+        # single one-hot gather instead of ~12 (the multi-run sweep reads
+        # _NRUNS of them).
+        ar = pltpu.roll(dr, shift=1, axis=2)
+        ai = pltpu.roll(di, shift=1, axis=2)
+        br, bi = supr, supi
+        cr = pltpu.roll(sr_, shift=1, axis=2)
+        ci = pltpu.roll(si_, shift=1, axis=2)
+        dr_, di_ = dr, di
         trr, tri = ar + dr_, ai + di_
         detr = (ar * dr_ - ai * di_) - (br * cr - bi * ci)
         deti = (ar * di_ + ai * dr_) - (br * ci + bi * cr)
@@ -417,24 +467,66 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         l2r, l2i = (trr - dscr) / 2, (tri - dsci) / 2
         pick1 = ((l1r - dr_) ** 2 + (l1i - di_) ** 2 <
                  (l2r - dr_) ** 2 + (l2i - di_) ** 2)
-        sgr = jnp.where(pick1, l1r, l2r)
-        sgi = jnp.where(pick1, l1i, l2i)
+        sh_r = jnp.where(pick1, l1r, l2r)
+        sh_i = jnp.where(pick1, l1i, l2i)
+        exr_v = dr_ + 0.75 * jnp.sqrt(cr * cr + ci * ci)
+        exi_v = di_
+
+        # ---- one bulge per independent alive run (up to _NRUNS) ----------
+        # The per-sweep FIXED cost (deflation scan, W reset, epilogue
+        # GEMMs, loop plumbing — measured ~120us/sweep at n=338 vs ~0.3us
+        # per rotation) dominates this kernel, and the bench's RCWA wave
+        # matrices deflate mid-matrix constantly (mean 2.8 independent
+        # alive runs per sweep, numpy model).  Chasing one bulge through
+        # EVERY bottom-most run per sweep — runs are disjoint, so a single
+        # (x, y) carry serves them all, re-introduced at each run's lo —
+        # cuts the sweep count ~2.2-2.4x at identical total rotations
+        # (numpy model: 1116 -> 541 sweeps at n=338).
         exc = (it % 13) == 12
-        sgr = jnp.where(exc, dr_ + 0.75 * jnp.sqrt(cr * cr + ci * ci), sgr)
-        sgi = jnp.where(exc, di_, sgi)
+        zero_v = jnp.zeros((b, 1, n), jnp.float32)
+        act_vec = zero_v
+        intro_vec = zero_v
+        x0r_vec = zero_v
+        x0i_vec = zero_v
+        y0r_vec = zero_v
+        y0i_vec = zero_v
+        lo_r, hi_r = lo, hi
+        lo_min_v = lo
+        for r in range(_NRUNS):
+            if r > 0:
+                hi_r = jnp.max(jnp.where((lane <= lo_r - 1) & alive,
+                                         lane, 0), axis=2, keepdims=True)
+                lo_r = jnp.max(jnp.where((iota_n <= hi_r) &
+                                         ((iota_n == 0) | ~alive_prev),
+                                         iota_n, 0), axis=2, keepdims=True)
+            valid = hi_r > 0
+            sgr = at_lane(sh_r, hi_r)
+            sgi = at_lane(sh_i, hi_r)
+            if r == 0:
+                sgr = jnp.where(exc, at_lane(exr_v, hi_r), sgr)
+                sgi = jnp.where(exc, at_lane(exi_v, hi_r), sgi)
+            in_run = (iota_n >= lo_r) & (iota_n < hi_r) & valid
+            at_lo = (iota_n == lo_r) & valid
+            act_vec = jnp.where(in_run, 1., act_vec)
+            intro_vec = jnp.where(at_lo, 1., intro_vec)
+            x0r_vec = jnp.where(at_lo, at_lane(dr, lo_r) - sgr, x0r_vec)
+            x0i_vec = jnp.where(at_lo, at_lane(di, lo_r) - sgi, x0i_vec)
+            y0r_vec = jnp.where(at_lo, at_lane(sr_, lo_r), y0r_vec)
+            y0i_vec = jnp.where(at_lo, at_lane(si_, lo_r), y0i_vec)
+            lo_min_v = jnp.where(valid, lo_r, lo_min_v)
 
-        # ---- reset W to identity ------------------------------------------
-        wr_ref[:] = eye
-        wi_ref[:] = jnp.zeros_like(eye)
-
-        x0r = at_lane(dr, lo) - sgr
-        x0i = at_lane(di, lo) - sgi
-        y0r = at_lane(sr_, lo)
-        y0i = at_lane(si_, lo)
+        # (W was reset to identity on the scan's prefix slab above)
+        # NB: a packed (b, 6, n) single-gather variant of the 6 per-k
+        # lookups below measured SLOWER (184 vs 169 ms on the bench batch)
 
         def step(k, carry):
             xr, xi, yr, yi = carry
-            active = (k >= lo) & (k < hi)
+            active = at_lane(act_vec, k) > 0.5
+            intro = at_lane(intro_vec, k) > 0.5
+            xr = jnp.where(intro, at_lane(x0r_vec, k), xr)
+            xi = jnp.where(intro, at_lane(x0i_vec, k), xi)
+            yr = jnp.where(intro, at_lane(y0r_vec, k), yr)
+            yi = jnp.where(intro, at_lane(y0i_vec, k), yi)
             ax2 = xr * xr + xi * xi
             ay2 = yr * yr + yi * yi
             dn = jnp.sqrt(ax2 + ay2)
@@ -500,13 +592,13 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
             yi = jnp.where(active, yn_i, yi)
             return (xr, xi, yr, yi)
 
-        # the step loop only needs [min lo, max hi) across lanes (QR
-        # deflates from the bottom, so late sweeps have tiny windows);
-        # traced bounds lower to a while loop, which Mosaic supports
-        lo_min = jnp.min(lo)
+        # the step loop only needs [min run lo, max hi) across lanes and
+        # runs; traced bounds lower to a while loop, which Mosaic supports
+        lo_min = jnp.min(lo_min_v)
         hi_max = jnp.max(hi)
+        zero_s = jnp.zeros((b, 1, 1), jnp.float32)
         lax.fori_loop(lo_min, jnp.minimum(hi_max, n - 1), step,
-                      (x0r, x0i, y0r, y0i))
+                      (zero_s, zero_s, zero_s, zero_s))
 
         # ---- apply deferred columns: H <- H @ W^T, Z^T <- W @ Z^T ---------
         # W differs from the identity only inside [lo, hi+1], and lo_min is
@@ -558,13 +650,6 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                     zti_ref[:, :width, c0:c1] = Zi2
             return f
 
-        # slab-width granularity: fine (128) buckets at small n, where the
-        # late-iteration small-window sweeps dominate and a coarse bucket
-        # quadruples their GEMM cost (measured 4 ms/solve on the order-6
-        # bench); coarse (256) at large n to bound the switch-branch count
-        gran = 128 if n <= 640 else 256
-        widths = [min(gran * (i + 1), n) for i in range((n + gran - 1)
-                                                        // gran)]
         branch = jnp.minimum((hi_max + 2) // gran, len(widths) - 1)
         lax.switch(branch, [apply_slab(w) for w in widths])
         return (hi, it + 1, stall)
