@@ -180,12 +180,43 @@ def pq_pair(eps_conv, kx, ky, mu_conv=None):
 _REMAT_MIN_2N = 4000
 
 
-def _layer_smatrix_tail(P, E, kz, Vf_inv, omega, thickness):
+def _layer_H(P, E, kz, Q=None, max_pinv=0.005, solve=None):
+    """H-field eigenvectors H = P^-1 E Kz, optionally with the reference's
+    Pinv-instability fallback (rcwa.py:1249-1262): when ``Q`` is given, P is
+    inverted explicitly, the deviation metric max|P P^-1 - I| (and P^-1 P)
+    is measured, and a too-ill-conditioned P (Wood anomaly) switches to the
+    equivalent H = Q E Kz^-1 formula — matching core.layer_smatrix exactly.
+
+    Returns (H, instability) where instability is the stop-gradient
+    (pinv_metric, qinv_metric) pair when the fallback is armed, else None.
+    """
+    if Q is None:
+        solve = solve or cplx.csolve
+        return solve(P, cplx.scale_cols(E, kz)), None
+    n2 = E[0].shape[-1]
+    rdtype = E[0].dtype
+    Pinv = cplx.cinv(P)
+    eye = jnp.eye(n2, dtype=rdtype)
+
+    def dev(M):
+        return jnp.max(jnp.sqrt((M[0] - eye) ** 2 + M[1] ** 2))
+
+    p_ins = jnp.maximum(dev(cplx.cmm(P, Pinv)), dev(cplx.cmm(Pinv, P)))
+    q_ins = dev(cplx.cmm(Q, cplx.cinv(Q)))
+    H_p = cplx.cmm(Pinv, cplx.scale_cols(E, kz))
+    kz_inv = cplx.cdiv_raw((jnp.ones_like(kz[0]), jnp.zeros_like(kz[1])), kz)
+    H_q = cplx.cmm(Q, cplx.scale_cols(E, kz_inv))
+    H = cplx.cwhere(p_ins < max_pinv, H_p, H_q)
+    return H, (jax.lax.stop_gradient(p_ins), jax.lax.stop_gradient(q_ins))
+
+
+def _layer_smatrix_tail(P, E, kz, Vf_inv, omega, thickness,
+                        Q=None, max_pinv=0.005):
     """S-matrix assembly from the layer eigenmodes (the LU-heavy part)."""
     n2 = E[0].shape[-1]
     rdtype = E[0].dtype
-    # H = P^-1 E Kz
-    H = cplx.csolve(P, cplx.scale_cols(E, kz))
+    # H = P^-1 E Kz (Q arms the Pinv-instability fallback)
+    H, instability = _layer_H(P, E, kz, Q, max_pinv)
     W = _bdp_apply(Vf_inv, H)
     Apl = cplx.cadd(E, W)
     Bmn = cplx.csub(E, W)
@@ -199,10 +230,11 @@ def _layer_smatrix_tail(P, E, kz, Vf_inv, omega, thickness):
     eye = (jnp.eye(n2, dtype=rdtype), jnp.zeros((n2, n2), rdtype))
     S11 = cplx.cadd(cplx.cmm(Ephi, G), cplx.cmm(E, D))
     S21 = cplx.csub(cplx.cadd(cplx.cmm(E, G), cplx.cmm(Ephi, D)), eye)
-    return S11, S21, G, D, H
+    return S11, S21, G, D, H, instability
 
 
-def _layer_smatrix_tail_nomodes(P, E, kz, Vf_inv, omega, thickness):
+def _layer_smatrix_tail_nomodes(P, E, kz, Vf_inv, omega, thickness,
+                                Q=None, max_pinv=0.005):
     """S-matrix assembly without the mode-coupling matrices G, D.
 
     With Mp = (Apl+Bphi)^-1 and Mm = (Apl-Bphi)^-1 the reference's
@@ -220,7 +252,7 @@ def _layer_smatrix_tail_nomodes(P, E, kz, Vf_inv, omega, thickness):
     big = n2 >= _REMAT_MIN_2N
     solve = jax.checkpoint(cplx.csolve) if big else cplx.csolve
     rsolve = jax.checkpoint(cplx.crsolve) if big else cplx.crsolve
-    H = solve(P, cplx.scale_cols(E, kz))
+    H, instability = _layer_H(P, E, kz, Q, max_pinv, solve=solve)
     W = _bdp_apply(Vf_inv, H)
     Apl = cplx.cadd(E, W)
     Bmn = cplx.csub(E, W)
@@ -234,11 +266,12 @@ def _layer_smatrix_tail_nomodes(P, E, kz, Vf_inv, omega, thickness):
     S11 = cplx.cadd(X1, X2)
     eye = (jnp.eye(n2, dtype=rdtype), jnp.zeros((n2, n2), rdtype))
     S21 = cplx.csub(cplx.csub(X1, X2), eye)
-    return S11, S21, H
+    return S11, S21, H, instability
 
 
 def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                        broadening, backend, mu_conv=None, need_modes=True):
+                        broadening, backend, mu_conv=None, need_modes=True,
+                        avoid_pinv=False, max_pinv=0.005):
     P, Q = pq_pair(eps_conv, kx, ky, mu_conv)
     A = cplx.cmm(P, Q)
     wr, wi, vr, vi = eig_pair(A[0], A[1], broadening, backend)
@@ -254,19 +287,26 @@ def _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
     kz = (jnp.where(flip, -kz[0], kz[0]), jnp.where(flip, -kz[1], kz[1]))
     E = (vr, vi)
     big = E[0].shape[-1] >= _REMAT_MIN_2N
+    Qarg = Q if avoid_pinv else None
     if need_modes:
         tail = jax.checkpoint(_layer_smatrix_tail) if big \
             else _layer_smatrix_tail
-        S11, S21, G, D, H = tail(P, E, kz, Vf_inv, omega, thickness)
+        S11, S21, G, D, H, ins = tail(P, E, kz, Vf_inv, omega, thickness,
+                                      Qarg, max_pinv)
+        if avoid_pinv:
+            return S11, S21, G, D, kz, E, H, ins
         return S11, S21, G, D, kz, E, H
     tail = jax.checkpoint(_layer_smatrix_tail_nomodes) if big \
         else _layer_smatrix_tail_nomodes
-    S11, S21, H = tail(P, E, kz, Vf_inv, omega, thickness)
+    S11, S21, H, ins = tail(P, E, kz, Vf_inv, omega, thickness, Qarg, max_pinv)
+    if avoid_pinv:
+        return S11, S21, kz, E, H, ins
     return S11, S21, kz, E, H
 
 
 def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                       broadening, backend, mu_conv=None, need_modes=True):
+                       broadening, backend, mu_conv=None, need_modes=True,
+                       avoid_pinv=False, max_pinv=0.005):
     """Patterned-layer S-matrix, split-real (rcwa.py:1224-1281 pipeline).
 
     Returns (S11, S21, G, D, kz, E, H) pairs when ``need_modes``, else
@@ -283,7 +323,8 @@ def layer_smatrix_pair(eps_conv, kx, ky, Vf_inv, omega, thickness,
     # tail (16.04G planned) beats a save-only-eig policy over the whole
     # body (16.37G) — the scheduler overlaps the longer remat chains
     return _layer_smatrix_body(eps_conv, kx, ky, Vf_inv, omega, thickness,
-                               broadening, backend, mu_conv, need_modes)
+                               broadening, backend, mu_conv, need_modes,
+                               avoid_pinv, max_pinv)
 
 
 def redheffer_pair(Sm, Sn):
@@ -312,6 +353,99 @@ def _redheffer_impl(Sm, Sn):
     return [S11, S21, S12, S22], t1, t2
 
 
+def _stacked_modes_m(Cstk, Sm, Sn, t1, t2):
+    """Batched redheffer_update_modes for entries on the *m* (left) side:
+    cf <- cf + cb zm, cb <- cb zt applied to [L, 4N, 2N] stacks with one
+    broadcasted GEMM each (rcwa.py:1296-1299 over every prior layer)."""
+    CF, CB = Cstk
+    S11m = Sm[0]
+    S21n, S22n = Sn[1], Sn[3]
+    zm = cplx.cmm(t2, cplx.cmm(S21n, S11m))
+    zt = cplx.cmm(t2, S22n)
+    return (cplx.cadd(CF, cplx.cmm(CB, zm)), cplx.cmm(CB, zt))
+
+
+def _stacked_modes_n(Cstk, Sm, Sn, t1, t2):
+    """Batched redheffer_update_modes for entries on the *n* (right) side:
+    cf <- cf z1, cb <- cb + cf z2 (rcwa.py:1301-1304)."""
+    CF, CB = Cstk
+    S11m, S12m = Sm[0], Sm[2]
+    S22n = Sn[3]
+    z1 = cplx.cmm(t1, S11m)
+    z2 = cplx.cmm(t1, cplx.cmm(S12m, S22n))
+    return (cplx.cmm(CF, z1), cplx.cadd(CB, cplx.cmm(CF, z2)))
+
+
+def _fold_layers_scan(S11s, S21s, GDs=None):
+    """Redheffer fold over a stacked layer axis via lax.scan.
+
+    Numerically the same star-product recursion as the unrolled per-layer
+    fold (reference rcwa.py:173-211, 1283-1306) but the compiled graph is
+    independent of layer count: the star product is the scan body and,
+    with modes, the per-layer mode-coupling matrices ride the carry as
+    [L, 4N, 2N] stacks — prior entries updated by one broadcasted GEMM
+    under an ``arange(L) < i`` mask, the new entry finalized with a
+    dynamic index update.  Deep stacks (tens of layers) compile in the
+    same time as two-layer ones.
+
+    Args:
+      S11s, S21s: [L, 2N, 2N] cpairs of per-layer S blocks (stack order).
+      GDs: optional ([L,2N,2N] G cpair, [L,2N,2N] D cpair) to also
+        propagate the mode-coupling matrices.
+
+    Returns (S, Cstk) where S is the folded [S11,S21,S12,S22] and Cstk is
+    the ([L,4N,2N] CF cpair, [L,4N,2N] CB cpair) stack or None.
+    """
+    L = S11s[0].shape[0]
+    take = lambda s, i: (s[0][i], s[1][i])
+    sl = lambda s: (s[0][1:], s[1][1:])
+    S0 = [take(S11s, 0), take(S21s, 0), take(S21s, 0), take(S11s, 0)]
+    with_modes = GDs is not None
+
+    if with_modes:
+        Gs, Ds = GDs
+        # Cf = [G; D], Cb = [D; G] raw per-layer stacks (rcwa.py:1271-1274)
+        CFs = (jnp.concatenate([Gs[0], Ds[0]], axis=-2),
+               jnp.concatenate([Gs[1], Ds[1]], axis=-2))
+        CBs = (jnp.concatenate([Ds[0], Gs[0]], axis=-2),
+               jnp.concatenate([Ds[1], Gs[1]], axis=-2))
+        # carry stacks hold *processed* entries; slot j is live once step j
+        # has run, so only slot 0 starts initialized
+        zero = lambda a: jnp.zeros_like(a).at[0].set(a[0])
+        CF0 = (zero(CFs[0]), zero(CFs[1]))
+        CB0 = (zero(CBs[0]), zero(CBs[1]))
+        xs = (sl(S11s), sl(S21s), sl(CFs), sl(CBs), jnp.arange(1, L))
+
+        def body(carry, x):
+            S, CF, CB = carry
+            s11, s21, cf_raw, cb_raw, i = x
+            Sn = [s11, s21, s21, s11]
+            S_new, t1, t2 = redheffer_pair(S, Sn)
+            CF_upd, CB_upd = _stacked_modes_m((CF, CB), S, Sn, t1, t2)
+            mask = (jnp.arange(L) < i)[:, None, None]
+            CF = (jnp.where(mask, CF_upd[0], CF[0]),
+                  jnp.where(mask, CF_upd[1], CF[1]))
+            CB = (jnp.where(mask, CB_upd[0], CB[0]),
+                  jnp.where(mask, CB_upd[1], CB[1]))
+            cf_i, cb_i = _stacked_modes_n((cf_raw, cb_raw), S, Sn, t1, t2)
+            CF = (CF[0].at[i].set(cf_i[0]), CF[1].at[i].set(cf_i[1]))
+            CB = (CB[0].at[i].set(cb_i[0]), CB[1].at[i].set(cb_i[1]))
+            return (S_new, CF, CB), None
+
+        (S, CF, CB), _ = jax.lax.scan(body, (S0, CF0, CB0), xs)
+        return S, (CF, CB)
+
+    xs = (sl(S11s), sl(S21s))
+
+    def body(S, x):
+        s11, s21 = x
+        S_new, _, _ = redheffer_pair(S, [s11, s21, s21, s11])
+        return S_new, None
+
+    S, _ = jax.lax.scan(body, S0, xs)
+    return S, None
+
+
 # ---------------------------------------------------------------------------
 # Full solve
 # ---------------------------------------------------------------------------
@@ -320,7 +454,9 @@ def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
                      eps_grids, thicknesses, eps_in=None, eps_out=None,
                      broadening='auto', eig_backend='auto',
                      mu_grids=None, eps_scalars=None, mu_scalars=None,
-                     mu_in=None, mu_out=None, with_modes=False):
+                     mu_in=None, mu_out=None, with_modes=False,
+                     avoid_pinv_instability=False,
+                     max_pinv_instability=0.005, fold='auto'):
     """Global S-matrix of a layer stack, all split-real.
 
     Args:
@@ -344,6 +480,16 @@ def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
         through the Redheffer fold (rcwa.py:1296-1304) so internal fields
         can be reconstructed (fields.field_plane_pair); costs extra GEMMs
         per fold step.
+      avoid_pinv_instability / max_pinv_instability: arm the reference's
+        runtime fallback (rcwa.py:1249-1262) on every patterned layer —
+        when max|P P^-1 - I| exceeds the threshold (near-singular P at a
+        Wood anomaly) the H eigenvectors switch to the equivalent
+        H = Q E Kz^-1 formula.  The stop-gradient per-layer metrics are
+        returned in ``internals['pinv_instability']``.
+      fold: 'unroll' | 'scan' | 'auto' — how the Redheffer fold over
+        layers is built.  'scan' compiles one lax.scan star-product body
+        regardless of layer count (deep stacks); 'auto' picks scan at
+        >= 8 layers.  Both produce identical results.
 
     Returns:
       S blocks [S11, S21, S12, S22] as dense pairs, plus a dict of
@@ -356,14 +502,17 @@ def solve_stack_pair(spec: StackSpec, freq, inc_ang, azi_ang,
         return _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                                       thicknesses, eps_in, eps_out, broadening,
                                       eig_backend, mu_grids, eps_scalars,
-                                      mu_scalars, mu_in, mu_out, with_modes)
+                                      mu_scalars, mu_in, mu_out, with_modes,
+                                      avoid_pinv_instability,
+                                      max_pinv_instability, fold)
 
 
 def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                            thicknesses, eps_in, eps_out, broadening,
                            eig_backend, mu_grids=None, eps_scalars=None,
                            mu_scalars=None, mu_in=None, mu_out=None,
-                           with_modes=False):
+                           with_modes=False, avoid_pinv=False,
+                           max_pinv=0.005, fold='auto'):
     order, L = spec.order, spec.L
     rdtype = (eps_grids[0].dtype if eps_grids is not None
               and np.size(eps_grids[0]) else eps_scalars[0].dtype)
@@ -414,19 +563,29 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                 return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
                                           t, broadening, eig_backend,
                                           mu_conv=(mr, mi),
-                                          need_modes=with_modes)
+                                          need_modes=with_modes,
+                                          avoid_pinv=avoid_pinv,
+                                          max_pinv=max_pinv)
             args = (conv[0], conv[1], mu_conv[0], mu_conv[1], t_pat)
         else:
             def one_layer(cr, ci, t):
                 return layer_smatrix_pair((cr, ci), kx, ky, Vf_inv, omega,
                                           t, broadening, eig_backend,
-                                          need_modes=with_modes)
+                                          need_modes=with_modes,
+                                          avoid_pinv=avoid_pinv,
+                                          max_pinv=max_pinv)
             args = (conv[0], conv[1], t_pat)
         if n_pat > 1:
             pat_sols = jax.vmap(one_layer)(*args)
         else:
             pat_sols = jax.tree.map(
                 lambda x: x[None], one_layer(*(a[0] for a in args)))
+        if avoid_pinv:
+            # split the per-layer stop-gradient metrics off the field tuple
+            # so the downstream stack/index bookkeeping stays uniform with
+            # the homogeneous layers (which have no Pinv fallback)
+            pat_ins = pat_sols[-1]
+            pat_sols = pat_sols[:-1]
 
     # ---- homogeneous layers: O(N) bdp assembly, densified for the fold --
     hom_sols = None
@@ -458,13 +617,28 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
         j = int(np.sum(~np.asarray(hmask[:i], bool)))
         return jax.tree.map(lambda x: x[j], pat_sols)
 
-    per_layer = [layer_fields(i) for i in range(spec.n_layers)]
+    # the per-layer sliced views are only needed by the unrolled fold and
+    # by mixed (patterned+homogeneous) stack interleaving; building them on
+    # the scanned uniform path would add O(L) slice eqns to the graph
+    use_scan = spec.n_layers > 1 and (
+        fold == 'scan' or (fold == 'auto' and spec.n_layers >= 8))
+    mixed = n_pat > 0 and n_hom > 0
+    per_layer = ([layer_fields(i) for i in range(spec.n_layers)]
+                 if (not use_scan or mixed) else None)
 
     def stack_leaf(k):
+        # uniform stacks are already stacked by the vmap — reuse directly
+        # so graph size stays independent of layer count
+        if n_hom == 0 and pat_sols is not None:
+            return pat_sols[k]
+        if n_pat == 0 and hom_sols is not None:
+            return hom_sols[k]
         return jax.tree.map(lambda *xs: jnp.stack(xs),
                             *[pl[k] for pl in per_layer])
 
     internals = dict(kx=kx, ky=ky, kz_f=kz_f, Vf=Vf)
+    if avoid_pinv and n_pat:
+        internals['pinv_instability'] = pat_ins
     if spec.n_layers:
         base = 4 if with_modes else 2
         if with_modes:
@@ -474,27 +648,38 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
         # eps conv matrices of ALL layers in stack order (homogeneous ->
         # eps * I), for diagnostics / field reconstruction
         eye = jnp.eye(N, dtype=rdtype)
-        conv_all_r, conv_all_i = [], []
-        mu_all_r, mu_all_i = [], []
-        for i in range(spec.n_layers):
-            if hmask[i]:
-                j = int(np.sum(np.asarray(hmask[:i], bool)))
-                conv_all_r.append(eps_scalars[0][j] * eye)
-                conv_all_i.append(eps_scalars[1][j] * eye)
-                mu_all_r.append(mu_scalars[0][j] * eye)
-                mu_all_i.append(mu_scalars[1][j] * eye)
+        if n_hom == 0:
+            internals['conv'] = conv
+            if mu_conv is not None:
+                internals['mu_conv'] = mu_conv
             else:
-                j = int(np.sum(~np.asarray(hmask[:i], bool)))
-                conv_all_r.append(conv[0][j])
-                conv_all_i.append(conv[1][j])
-                if mu_conv is not None:
-                    mu_all_r.append(mu_conv[0][j])
-                    mu_all_i.append(mu_conv[1][j])
+                internals['mu_conv'] = (
+                    jnp.broadcast_to(eye, (spec.n_layers, N, N)),
+                    jnp.zeros((spec.n_layers, N, N), rdtype))
+        else:
+            conv_all_r, conv_all_i = [], []
+            mu_all_r, mu_all_i = [], []
+            for i in range(spec.n_layers):
+                if hmask[i]:
+                    j = int(np.sum(np.asarray(hmask[:i], bool)))
+                    conv_all_r.append(eps_scalars[0][j] * eye)
+                    conv_all_i.append(eps_scalars[1][j] * eye)
+                    mu_all_r.append(mu_scalars[0][j] * eye)
+                    mu_all_i.append(mu_scalars[1][j] * eye)
                 else:
-                    mu_all_r.append(eye)
-                    mu_all_i.append(jnp.zeros_like(eye))
-        internals['conv'] = (jnp.stack(conv_all_r), jnp.stack(conv_all_i))
-        internals['mu_conv'] = (jnp.stack(mu_all_r), jnp.stack(mu_all_i))
+                    j = int(np.sum(~np.asarray(hmask[:i], bool)))
+                    conv_all_r.append(conv[0][j])
+                    conv_all_i.append(conv[1][j])
+                    if mu_conv is not None:
+                        mu_all_r.append(mu_conv[0][j])
+                        mu_all_i.append(mu_conv[1][j])
+                    else:
+                        mu_all_r.append(eye)
+                        mu_all_i.append(jnp.zeros_like(eye))
+            internals['conv'] = (jnp.stack(conv_all_r),
+                                 jnp.stack(conv_all_i))
+            internals['mu_conv'] = (jnp.stack(mu_all_r),
+                                    jnp.stack(mu_all_i))
 
     def dense_C(pl):
         """(Cf, Cb) = ([G; D], [D; G]) dense [4N, 2N] pairs."""
@@ -506,10 +691,25 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
     from .core import redheffer_update_modes
 
     # ---- Redheffer fold over layers (+ optional C propagation) ----------
-    if spec.n_layers:
+    # 'auto' switched to the lax.scan fold for deep stacks above: the
+    # unrolled fold's graph (and with_modes C updates, O(L^2) nodes) grows
+    # with layer count while the scan fold compiles one star-product body
+    Cstk = None
+    if use_scan:
+        GDs = (internals['G'], internals['D']) if with_modes else None
+        S, Cstk = _fold_layers_scan(stack_leaf(0), stack_leaf(1), GDs)
+        C = []
+    elif spec.n_layers:
         S = [per_layer[0][0], per_layer[0][1],
              per_layer[0][1], per_layer[0][0]]
         C = [dense_C(per_layer[0])] if with_modes else []
+        for i in range(1, spec.n_layers):
+            pl_i = per_layer[i]
+            Sn = [pl_i[0], pl_i[1], pl_i[1], pl_i[0]]
+            S_new, t1, t2 = redheffer_pair(S, Sn)
+            if with_modes:
+                C = redheffer_update_modes(C, [dense_C(pl_i)], S, Sn, t1, t2)
+            S = S_new
     else:
         eyep = (jnp.eye(2 * N, dtype=rdtype),
                 jnp.zeros((2 * N, 2 * N), rdtype))
@@ -517,13 +717,6 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
                  jnp.zeros((2 * N, 2 * N), rdtype))
         S = [eyep, zerop, zerop, eyep]
         C = []
-    for i in range(1, spec.n_layers):
-        pl_i = per_layer[i]
-        Sn = [pl_i[0], pl_i[1], pl_i[1], pl_i[0]]
-        S_new, t1, t2 = redheffer_pair(S, Sn)
-        if with_modes:
-            C = redheffer_update_modes(C, [dense_C(pl_i)], S, Sn, t1, t2)
-        S = S_new
 
     if spec.has_input:
         kz_i = _kz_pair(cplx.cmul(eps_in, mu_in), kx, ky)
@@ -532,7 +725,10 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
         Sin = [_bdp_dense(b) for b in interface_in_pair(Vf, Vi)]
         S_new, t1, t2 = redheffer_pair(Sin, S)
         if with_modes:
-            C = redheffer_update_modes([], C, Sin, S, t1, t2)
+            if Cstk is not None:
+                Cstk = _stacked_modes_n(Cstk, Sin, S, t1, t2)
+            else:
+                C = redheffer_update_modes([], C, Sin, S, t1, t2)
         S = S_new
 
     if spec.has_output:
@@ -542,10 +738,17 @@ def _solve_stack_pair_impl(spec, freq, inc_ang, azi_ang, eps_grids,
         Sout = [_bdp_dense(b) for b in interface_out_pair(Vf, Vo)]
         S_new, t1, t2 = redheffer_pair(S, Sout)
         if with_modes:
-            C = redheffer_update_modes(C, [], S, Sout, t1, t2)
+            if Cstk is not None:
+                Cstk = _stacked_modes_m(Cstk, S, Sout, t1, t2)
+            else:
+                C = redheffer_update_modes(C, [], S, Sout, t1, t2)
         S = S_new
 
     if with_modes:
+        if Cstk is not None:
+            CF, CB = Cstk
+            C = [((CF[0][i], CF[1][i]), (CB[0][i], CB[1][i]))
+                 for i in range(spec.n_layers)]
         internals['C'] = C
 
     return S, internals
