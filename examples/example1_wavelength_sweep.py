@@ -1,11 +1,26 @@
 """Example 1 — rectangular meta-atom wavelength sweep
-(reference example/Example1.ipynb).
+(reference example/Example1.ipynb, exact configuration).
 
-Transmission t_xx of the (0,0) order for a rectangular SiN pillar on a
-SiO2 substrate, swept over wavelength.  The reference loops wavelengths
-in Python (cell 2); here the whole sweep is one vmapped, jitted solve —
-on TPU it also uses the batched Pallas eigensolver, and with multiple
-chips the sweep axis shards over the mesh (torcwa_tpu.parallel).
+Reference (cells 0+2): a 180x100 nm a-Si:H rectangle on a 1.46^2
+substrate, 300x300 nm cell rasterized 300x300 (edge sharpness 1000),
+300 nm thick, order [15, 15] (N = 961 harmonics, 2N = 1922), 61
+wavelengths 400..700 nm, with the dispersive a-Si:H permittivity
+``Materials.aSiH.apply(lamb0_now)**2`` re-evaluated at every wavelength
+INSIDE the sweep — the reference loops wavelengths in Python, rebuilding
+the solver each iteration.
+
+Ours: the cubic-spline TabulatedMaterial (torcwa_tpu.materials) is
+jittable and differentiable, so the eps(lambda) evaluation lives inside
+the jitted per-wavelength solve.  At small order the whole sweep is one
+vmapped batched solve (the batched Pallas eigensolver); at parity order
+(>= 15, 2N = 1922) the per-wavelength 4N x 4N working set forces a
+sequential chunked lax.map, one dispatch per chunk (a single XLA program
+spanning the whole sweep runs past the tunnel worker's deadline).
+
+EX1_ORDER (default 4: smoke) / EX1_NLAM (default 31) / EX1_GRID control
+the configuration; EX1_ORDER=15 EX1_NLAM=61 EX1_GRID=300 is the
+reference parity run.  EX1_GOLDEN=<npz> cross-checks |t_xx|^2 against a
+reference golden (complex128 host run) at matching wavelengths.
 """
 import os
 import sys
@@ -21,46 +36,92 @@ import jax.numpy as jnp
 
 import torcwa_tpu as tt
 from torcwa_tpu.fmm import StackSpec, solve_stack_pair, sparam_xy_pair
+from torcwa_tpu.materials import aSiH
 
 L = (300., 300.)
-ORDER = (4, 4)
-GRID = 256
-LAMBDAS = np.linspace(400., 700., 31)
+ORDER_N = int(os.environ.get('EX1_ORDER', '4'))
+ORDER = (ORDER_N, ORDER_N)
+GRID = int(os.environ.get('EX1_GRID', '256'))
+N_LAM = int(os.environ.get('EX1_NLAM', '31'))
+LAMBDAS = np.linspace(400., 700., N_LAM)
+SUB_EPS = 1.46 ** 2
+THICK = 300.
 rdtype = jnp.float32
 
-
-def build_eps():
-    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID, edge_sharpness=500.,
-                    dtype=rdtype)
-    geom = g.rectangle(160., 160., L[0] / 2., L[1] / 2.)
-    return jnp.asarray(geom * 2.0709 ** 2 + (1. - geom), rdtype)
+_SI = aSiH()    # natural-cubic-spline fit of the reference's (n, k) table
 
 
-def t00(freq, er):
+def build_geom():
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID,
+                    edge_sharpness=1000., dtype=rdtype)
+    return g.rectangle(180., 100., L[0] / 2., L[1] / 2.)
+
+
+def t00(freq, geom):
+    """|t_xx(0,0)|^2 at one wavelength; eps(lambda) evaluated in-trace."""
+    lam = 1.0 / freq
+    er_si, ei_si = _SI.eps_pair(lam)    # (n + ik)^2, spline-differentiable
+    er = geom * er_si.astype(rdtype) + (1. - geom)
+    ei = geom * ei_si.astype(rdtype)
     spec = StackSpec(order=ORDER, L=L, n_layers=1, has_input=True)
     S, intr = solve_stack_pair(
         spec, freq, jnp.asarray(0., rdtype), jnp.asarray(0., rdtype),
-        (er[None], jnp.zeros_like(er)[None]), jnp.asarray([600.], rdtype),
-        eps_in=(jnp.asarray(1.46 ** 2, rdtype), jnp.asarray(0., rdtype)))
+        (er[None], ei[None]), jnp.asarray([THICK], rdtype),
+        eps_in=(jnp.asarray(SUB_EPS, rdtype), jnp.asarray(0., rdtype)),
+        eig_backend='qr')
     one = (jnp.asarray(1., rdtype), jnp.asarray(0., rdtype))
     tr, ti = sparam_xy_pair(S, intr['kx'], intr['ky'],
-                            (jnp.asarray(1.46 ** 2, rdtype),
+                            (jnp.asarray(SUB_EPS, rdtype),
                              jnp.asarray(0., rdtype)), one,
                             ORDER, [0, 0], [0, 0], 'xx')
     return (tr ** 2 + ti ** 2)[0]
 
 
 if __name__ == '__main__':
-    eps = build_eps()
+    geom = build_geom()
     freqs = jnp.asarray(1.0 / LAMBDAS, rdtype)
-    sweep = jax.jit(lambda er: jax.vmap(lambda f: t00(f, er))(freqs))
-    T = sweep(eps)
-    T.block_until_ready()
-    t0 = time.time()
-    T = sweep(eps)
-    T.block_until_ready()
-    dt = time.time() - t0
-    for lam, t in zip(LAMBDAS, np.asarray(T)):
+    if ORDER_N >= 15:
+        # sequential chunked sweep (see module docstring)
+        CHUNK = 2
+        nlam = freqs.shape[0]
+        pad = (-nlam) % CHUNK
+        freqs_p = (jnp.concatenate([freqs, freqs[:1].repeat(pad)])
+                   if pad else freqs)
+        chunked = jax.jit(lambda fs: jax.lax.map(
+            lambda f: t00(f, geom), fs))
+        warm = chunked(freqs_p[:CHUNK] * 1.0003)
+        np.asarray(warm)
+        t0 = time.time()
+        Ts = []
+        for c0 in range(0, freqs_p.shape[0], CHUNK):
+            Ts.append(np.asarray(chunked(freqs_p[c0:c0 + CHUNK])))
+        dt = time.time() - t0
+        T = np.concatenate(Ts)[:nlam]
+    else:
+        sweep = jax.jit(lambda g: jax.vmap(lambda f: t00(f, g))(freqs))
+        warm = sweep(geom * 0.999)
+        np.asarray(warm)
+        t0 = time.time()
+        T = np.asarray(sweep(geom))
+        dt = time.time() - t0
+
+    for lam, t in zip(LAMBDAS, T):
         print(f'lambda={lam:6.1f} nm   T00={t:.5f}')
-    print(f'\n{len(LAMBDAS)} wavelengths in {dt*1e3:.0f} ms '
-          f'({dt/len(LAMBDAS)*1e3:.1f} ms/solve) on {jax.default_backend()}')
+    print(f'\norder {list(ORDER)}, grid {GRID}, dispersive a-Si:H in-sweep: '
+          f'{N_LAM} wavelengths in {dt:.2f} s '
+          f'({dt / N_LAM:.4f} s/solve) on {jax.default_backend()}')
+
+    golden = os.environ.get('EX1_GOLDEN')
+    if golden:
+        ref = np.load(golden)
+        lam_ref = ref['lambs']
+        t_ref = np.abs(ref['txx']) ** 2
+        idx = [int(np.argmin(np.abs(LAMBDAS - l))) for l in lam_ref]
+        ours = T[idx]
+        ok = np.allclose(LAMBDAS[idx], lam_ref)
+        rel = np.abs(ours - t_ref) / np.maximum(np.abs(t_ref), 1e-3)
+        print(f'golden cross-check ({golden}): lambda match={ok}, '
+              f'max |dT|={np.abs(ours - t_ref).max():.2e}, '
+              f'max rel={rel.max():.2e}')
+        for l, a, b in zip(lam_ref, ours, t_ref):
+            print(f'  lambda={l:6.1f}  ours={a:.5f}  ref_f64={b:.5f}')

@@ -314,11 +314,47 @@ def golden_example4():
     print('example4 done')
 
 
+def golden_example1_dispersive():
+    """Example1's defining semantics at test scale: the dispersive a-Si:H
+    permittivity re-evaluated at EVERY wavelength inside the sweep
+    (Example1.ipynb cell 2: ``Materials.aSiH.apply(lamb0_now)**2``).
+    complex128 truth, order [4,4], 7 wavelengths, 256x256 raster of the
+    exact notebook geometry (180x100 rectangle, edge sharpness 1000)."""
+    L = [300., 300.]
+    order = [4, 4]
+    geom = rect_grid(256, 256, L[0], L[1], Wx=180., Wy=100., sharp=1000.,
+                     f64=True)
+    lambs = np.linspace(400., 700., 7)
+    txx = []
+    for lamb0 in lambs:
+        si_eps = silicon_eps(lamb0, f64=True)
+        layer_eps = geom * si_eps + (1. - geom)
+        sim = torcwa.rcwa(freq=1 / float(lamb0), order=order, L=L,
+                          dtype=C128, device=DEV)
+        sim.add_input_layer(eps=SUBSTRATE_EPS)
+        sim.set_incident_angle(inc_ang=0., azi_ang=0.)
+        sim.add_layer(thickness=300., eps=layer_eps)
+        sim.solve_global_smatrix()
+        txx.append(complex(sim.S_parameters(
+            orders=[0, 0], direction='forward', port='transmission',
+            polarization='xx', ref_order=[0, 0])[0]))
+    np.savez(os.path.join(OUT, 'example1_dispersive.npz'),
+             lambs=lambs, txx=np.array(txx), geom=t2n(geom))
+    print('example1_dispersive done')
+
+
 if __name__ == '__main__':
-    golden_example0()
-    golden_example1()
-    golden_example2()
-    golden_example1_1()
-    golden_example4()
-    golden_magnetic()
-    print('all goldens written to', OUT)
+    which = sys.argv[1:] if len(sys.argv) > 1 else None
+    todo = {
+        'example0': golden_example0,
+        'example1': golden_example1,
+        'example2': golden_example2,
+        'example1_1': golden_example1_1,
+        'example4': golden_example4,
+        'magnetic': golden_magnetic,
+        'example1_dispersive': golden_example1_dispersive,
+    }
+    for name, fn in todo.items():
+        if which is None or name in which:
+            fn()
+    print('goldens written to', OUT)

@@ -149,3 +149,19 @@ def test_dryrun_multichip_inprocess():
         os.path.abspath(__file__))))
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)     # asserts finite FoM / grad internally
+
+
+def test_shard_sweep_fields_with_modes():
+    """8-device sharded sweep where each point runs with_modes=True +
+    fields.fmm_field_adapter: field maps must match the unsharded vmap
+    (the fields path under SPMD; see also
+    test_fmm_magnetic_fields.test_sharded_wavelength_field_sweep)."""
+    from tests.test_fmm_magnetic_fields import _field_map_for_freq
+
+    freqs = jnp.asarray(1. / np.linspace(560., 680., 6), jnp.float32)
+    run = shard_sweep(_field_map_for_freq, sweep_mesh())
+    sharded = np.asarray(run(freqs))
+    unsharded = np.asarray(jax.jit(jax.vmap(_field_map_for_freq))(freqs))
+    assert sharded.shape == unsharded.shape
+    assert np.all(np.isfinite(sharded))
+    np.testing.assert_allclose(sharded, unsharded, rtol=2e-5, atol=2e-5)

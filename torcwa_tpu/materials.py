@@ -97,6 +97,14 @@ class TabulatedMaterial:
         """Complex permittivity (n + i k)^2."""
         return self.nk(wavelength) ** 2
 
+    def eps_pair(self, wavelength):
+        """(re, im) of the permittivity (n + i k)^2 as real arrays — the
+        split-real form the TPU path consumes (complex dtypes do not
+        cross the device boundary); jit/vmap/grad-safe in-trace."""
+        nv = self.n(wavelength)
+        kv = self.k(wavelength)
+        return nv * nv - kv * kv, 2. * nv * kv
+
     # reference API shim: aSiH.apply(lamb0) returned the complex index
     def apply(self, wavelength):
         return self.nk(wavelength)
