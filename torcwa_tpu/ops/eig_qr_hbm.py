@@ -251,7 +251,8 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                 B_r, B_i, U_r, U_i, S_r, S_i, T_r, T_i, K_r, K_i,
                 P_r, P_i, S2_r, S2_i, T2_r, T2_i,
                 dg_r, dg_i, sb_r, sb_i, sem,
-                *, n: int, m: int, wb: int, max_sweeps: int, aed: bool):
+                *, n: int, m: int, wb: int, max_sweeps: int, aed: bool,
+                kw: int = _AED_KW):
     nt = n // 128                       # band tiles
     # window advance: the resumed chase (tcur = a + wb - 2) needs its
     # trailing bulge row (tcur - 2(m-1)) inside the next window
@@ -341,21 +342,22 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
             # ---- AED: Schur the trailing KW window, deflate the spike,
             # shifts = undeflated window eigenvalues (zlaqr3 structure;
             # numpy prototype scripts/aed_model.py, ~10x fewer sweeps) ----
-            KW, KB, KP = _AED_KW, _AED_KW + 1, _AED_KP
+            KW, KB, KP = kw, kw + 1, kw + 8
+            trows = kw + 16
             iota_kw = lax.broadcasted_iota(jnp.int32, (1, 1, KW), 2)
             s = jnp.maximum(hi - KW + 1, lo + 1)
             r8 = pl.multiple_of(((s - 1) // 8) * 8, 8)
             c128a = pl.multiple_of(((s - 1) // 128) * 128, 128)
             o8 = (s - 1) - r8
             oc = (s - 1) - c128a
-            _cdma(hr.at[:, pl.ds(r8, 80), pl.ds(c128a, 256)],
-                  hi_.at[:, pl.ds(r8, 80), pl.ds(c128a, 256)],
+            _cdma(hr.at[:, pl.ds(r8, trows), pl.ds(c128a, 256)],
+                  hi_.at[:, pl.ds(r8, trows), pl.ds(c128a, 256)],
                   T_r, T_i, sem)
             Ablk_r = T_r[:]
             Ablk_i = T_i[:]
             # window W = H[s:s+KW, s:s+KW] via one-hot selection matmuls
-            rw_q = lax.broadcasted_iota(jnp.int32, (1, KW, 80), 1)
-            rw_r = lax.broadcasted_iota(jnp.int32, (1, KW, 80), 2)
+            rw_q = lax.broadcasted_iota(jnp.int32, (1, KW, trows), 1)
+            rw_r = lax.broadcasted_iota(jnp.int32, (1, KW, trows), 2)
             Rw = (rw_r == (o8 + 1 + rw_q)).astype(jnp.float32)
             cw_r = lax.broadcasted_iota(jnp.int32, (1, 256, KW), 1)
             cw_q = lax.broadcasted_iota(jnp.int32, (1, 256, KW), 2)
@@ -364,8 +366,8 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                         ((2,), (1,)), prec)
             Wi0 = _dotg(_dotg(Rw, Ablk_i, ((2,), (1,)), prec), Cw,
                         ((2,), (1,)), prec)
-            rA = lax.broadcasted_iota(jnp.int32, (1, 80, 256), 1)
-            cA = lax.broadcasted_iota(jnp.int32, (1, 80, 256), 2)
+            rA = lax.broadcasted_iota(jnp.int32, (1, trows, 256), 1)
+            cA = lax.broadcasted_iota(jnp.int32, (1, trows, 256), 2)
             bsel = (rA == o8 + 1) & (cA == oc)
             beta_r = _s11(jnp.where(bsel, Ablk_r, 0.))
             beta_i = _s11(jnp.where(bsel, Ablk_i, 0.))
@@ -914,13 +916,13 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
 
 @functools.partial(jax.jit, static_argnames=('n', 'n_arr', 'm', 'wb',
                                              'max_sweeps', 'interpret',
-                                             'aed'))
+                                             'aed', 'kw'))
 def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
-              aed):
+              aed, kw=_AED_KW):
     nt = n // 128
     kern = functools.partial(_kernel_hbm, n=n, m=m, wb=wb,
-                             max_sweeps=max_sweeps, aed=aed)
-    trows = 80 if aed else m + 8
+                             max_sweeps=max_sweeps, aed=aed, kw=kw)
+    trows = kw + 16 if aed else m + 8
     return pl.pallas_call(
         kern,
         out_shape=([jax.ShapeDtypeStruct((1, n_arr, n_arr), jnp.float32)] * 4
@@ -958,7 +960,8 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
 
 
 def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
-                 interpret=False, return_stats=False, aed=True):
+                 interpret=False, return_stats=False, aed=True,
+                 kw=_AED_KW):
     """HBM-resident multishift Schur QR for ONE [n, n] Hessenberg pair.
 
     Drop-in for schur_qr_pallas_ms with no VMEM size ceiling.  Returns
@@ -981,6 +984,15 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
     if stride <= 0:
         raise ValueError(f'window {wb} too small for {m} bulges '
                          f'(stride {stride} <= 0)')
+    if aed:
+        if kw % 8 or not 16 <= kw <= 120:
+            # the composed AED transform (kw+8 wide) must embed in a
+            # 256-wide slab at any 128-alignment offset: oc + kw + 8 <= 256
+            raise ValueError(f'AED window kw={kw} must be a multiple of 8 '
+                             f'in [16, 120]')
+        if m > kw:
+            raise ValueError(f'm={m} shifts need an AED window kw >= m '
+                             f'(got {kw})')
 
     def embed(X, fill_diag=None):
         full = jnp.zeros((n_arr, n_arr), jnp.float32)
@@ -1000,7 +1012,7 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
 
     Tr, Ti, Zr, Zi, stat = _call_hbm(Hr_p, Hi_p, ZTr_p, ZTi_p,
                                      n, n_arr, m, wb, max_sweeps, interpret,
-                                     aed)
+                                     aed, kw)
     Tr, Ti, Zr, Zi = Tr[0], Ti[0], Zr[0], Zi[0]
     hi_f = stat[0, 0]
     sweeps = stat[1, 0]
