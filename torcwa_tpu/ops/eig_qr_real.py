@@ -39,8 +39,22 @@ _HBM_MIN_N_SINGLE = 512
 # this n (the batch amortizes per-step overhead); above it even one
 # matrix fills VMEM and lanes run sequentially through the HBM pipeline.
 _HBM_MIN_N = 1300
-_HBM_SHIFTS = 16
 _HBM_WINDOW = 512
+
+
+def _hbm_shifts(n):
+    """Shift count per sweep for the HBM QR, by matrix size (chip-measured
+    on random split-real pairs, scripts/m_sweep_check.py, wb=512 kw=64):
+
+      n=3362: m=16 4.01s / m=24 3.44s / m=32 3.57s / m=48 4.42s
+      n=5202: m=16 8.66s / m=24 8.24s / m=32 8.15s
+
+    Small n is sweep-fixed-cost bound (band refresh + AED amortize over
+    m), large n chase-rotation bound (rotations = total shifts x span,
+    m-independent), and shift quality degrades once m crowds the kw=64
+    AED window (m=48 sweeps drop 170->140 but total shifts RISE 24%).
+    """
+    return 24 if n < 4200 else 32
 
 
 def _consts(rdtype):
@@ -403,7 +417,8 @@ def _eig_real_single(Ar, Ai):
             from .vec_blocked import eig_tri_vectors_blocked
             Hr, Hi, Qr, Qi = hessenberg_blocked(Ar, Ai)
             Tr, Ti, Zr, Zi = schur_qr_hbm(Hr, Hi, Qr, Qi,
-                                          m=_HBM_SHIFTS, wb=_HBM_WINDOW)
+                                          m=_hbm_shifts(n_in),
+                                          wb=_HBM_WINDOW)
             wr = jnp.diagonal(Tr)
             wi = jnp.diagonal(Ti)
             Vr, Vi = eig_tri_vectors_blocked(Tr, Ti, Zr, Zi)
