@@ -30,14 +30,14 @@ def run(n, m, wb, kw, Hr, Hi, Qr, Qi):
         float(jnp.sum(out[0]))
         t_cold = time.time() - t0
         t0 = time.time()
-        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
             Hr * 1.0001, Hi * 1.0001, Qr, Qi, m=m, wb=wb, kw=kw,
             return_stats=True)
         float(jnp.sum(Tr))
         t_q = time.time() - t0
     finite = bool(np.isfinite(np.asarray(jnp.diagonal(Tr))).all())
     print(f'n={n} m={m} wb={wb} kw={kw}: qr {t_q:.2f}s (cold {t_cold:.1f})  '
-          f'sweeps={int(sweeps)} hi_f={int(hi_f)} aed={int(aed_d)} '
+          f'sweeps={int(sweeps)} skip={int(skipped)} hi_f={int(hi_f)} aed={int(aed_d)} '
           f'finite={finite}', flush=True)
 
 

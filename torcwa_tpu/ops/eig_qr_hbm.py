@@ -70,6 +70,12 @@ _AED_KP = 72
 # interp-mode debugging: print per-sweep (lo, hi) and the sorted shifts
 _DEBUG_PRINT = False
 
+# zlaqr0's NIBBLE: when AED alone deflated more than this percentage of
+# the window, skip the sweep's bulge chase entirely and re-AED — the
+# chase is the per-sweep cost driver (span x m serial rotations) and
+# back-to-back window Schurs often sustain the deflation rate without it
+_NIBBLE = 14
+
 
 def _cdma(src_r, src_i, dst_r, dst_i, sem):
     cp = pltpu.make_async_copy(src_r, dst_r, sem)
@@ -252,7 +258,7 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                 P_r, P_i, S2_r, S2_i, T2_r, T2_i,
                 dg_r, dg_i, sb_r, sb_i, sem,
                 *, n: int, m: int, wb: int, max_sweeps: int, aed: bool,
-                kw: int = _AED_KW):
+                kw: int = _AED_KW, nibble: int = _NIBBLE):
     nt = n // 128                       # band tiles
     # window advance: the resumed chase (tcur = a + wb - 2) needs its
     # trailing bulge row (tcur - 2(m-1)) inside the next window
@@ -305,9 +311,15 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
     iota_kk = lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
 
     def sweep(state):
-        hi_top, it, stall, aed_tot = state
+        hi_top, it, stall, aed_tot, skip_tot, prev_nib, prev_tb = state
 
-        lax.fori_loop(0, nt, refresh_band, 0)
+        # a nibbled sweep (AED only, chase skipped) modifies H only in
+        # [c128a, c128a+256) — diag/subdiag outside stay valid from the
+        # last refresh, so only the two tiles covering that span need a
+        # re-read; chase sweeps rewrite the whole band (full refresh)
+        tb = jnp.where(prev_nib > 0, prev_tb, 0)
+        te = jnp.where(prev_nib > 0, jnp.minimum(prev_tb + 2, nt), nt)
+        lax.fori_loop(tb, te, refresh_band, 0)
         dgr = dg_r[:]
         dgi = dg_i[:]
         sbr = sb_r[:]
@@ -715,8 +727,12 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         # ---- windowed chase ------------------------------------------------
         a0 = jnp.maximum(lo - 2 * (m - 1), 0)
         a0 = (a0 // 128) * 128
-        # skip the chase when AED emptied (or nearly emptied) the block
-        t_final = jnp.where(hi > lo, hi - 1 + 2 * (m - 1), lo - 1)
+        # skip the chase when AED emptied (or nearly emptied) the block;
+        # nibble rule: also skip it while AED alone deflates > _NIBBLE%
+        # of its window per pass (exceptional sweeps always chase)
+        nibbled = ((hi_band - hi) * 100 > nibble * kw) & ~exc
+        t_final = jnp.where((hi > lo) & ~nibbled, hi - 1 + 2 * (m - 1),
+                            lo - 1)
 
         def win_cond(wstate):
             a, tcur = wstate[0], wstate[1]
@@ -899,29 +915,39 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                        (a0, lo, zeros_m, zeros_m, zeros_m, zeros_m))
         stall = jnp.where((hi < hi_top) | exc, 0, stall + 1)
         aed_tot = aed_tot + (hi_band - hi)
-        return (hi, it + 1, stall, aed_tot)
+        skip_tot = skip_tot + nibbled.astype(jnp.int32)
+        if aed:
+            tb_new = c128a // 128
+        else:
+            tb_new = jnp.int32(0)
+        return (hi, it + 1, stall, aed_tot, skip_tot,
+                nibbled.astype(jnp.int32), tb_new)
 
     def cond(state):
         hi_top, it = state[0], state[1]
         return (hi_top > 0) & (it < max_sweeps)
 
-    hi_f, it_f, _, aed_f = lax.while_loop(
+    hi_f, it_f, _, aed_f, skip_f, _, _ = lax.while_loop(
         cond, sweep,
-        (jnp.int32(n - 1), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        (jnp.int32(n - 1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     sub = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    stat_ref[:] = jnp.where(sub == 0, hi_f.astype(jnp.float32),
-                            jnp.where(sub == 2, aed_f.astype(jnp.float32),
-                                      it_f.astype(jnp.float32)))
+    stat_ref[:] = jnp.where(
+        sub == 0, hi_f.astype(jnp.float32),
+        jnp.where(sub == 2, aed_f.astype(jnp.float32),
+                  jnp.where(sub == 3, skip_f.astype(jnp.float32),
+                            it_f.astype(jnp.float32))))
 
 
 @functools.partial(jax.jit, static_argnames=('n', 'n_arr', 'm', 'wb',
                                              'max_sweeps', 'interpret',
-                                             'aed', 'kw'))
+                                             'aed', 'kw', 'nibble'))
 def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
-              aed, kw=_AED_KW):
+              aed, kw=_AED_KW, nibble=_NIBBLE):
     nt = n // 128
     kern = functools.partial(_kernel_hbm, n=n, m=m, wb=wb,
-                             max_sweeps=max_sweeps, aed=aed, kw=kw)
+                             max_sweeps=max_sweeps, aed=aed, kw=kw,
+                             nibble=nibble)
     trows = kw + 16 if aed else m + 8
     return pl.pallas_call(
         kern,
@@ -961,7 +987,7 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
 
 def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
                  interpret=False, return_stats=False, aed=True,
-                 kw=_AED_KW):
+                 kw=_AED_KW, nibble=_NIBBLE):
     """HBM-resident multishift Schur QR for ONE [n, n] Hessenberg pair.
 
     Drop-in for schur_qr_pallas_ms with no VMEM size ceiling.  Returns
@@ -1012,11 +1038,12 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
 
     Tr, Ti, Zr, Zi, stat = _call_hbm(Hr_p, Hi_p, ZTr_p, ZTi_p,
                                      n, n_arr, m, wb, max_sweeps, interpret,
-                                     aed, kw)
+                                     aed, kw, nibble)
     Tr, Ti, Zr, Zi = Tr[0], Ti[0], Zr[0], Zi[0]
     hi_f = stat[0, 0]
     sweeps = stat[1, 0]
     aed_defl = stat[2, 0]
+    skipped = stat[3, 0]
     tri = jnp.arange(n0)[:, None] <= jnp.arange(n0)[None, :]
     Tr = jnp.where(tri, Tr[:n0, :n0], 0.).astype(Hr.dtype)
     Ti = jnp.where(tri, Ti[:n0, :n0], 0.).astype(Hr.dtype)
@@ -1029,5 +1056,6 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
     out = (Tr, Ti, Zr, Zi)
     if return_stats:
         return out + ((hi_f.astype(jnp.int32), sweeps.astype(jnp.int32),
-                       aed_defl.astype(jnp.int32)),)
+                       aed_defl.astype(jnp.int32),
+                       skipped.astype(jnp.int32)),)
     return out
