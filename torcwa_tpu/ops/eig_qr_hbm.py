@@ -235,8 +235,12 @@ def _mini_schur(Br, Bi, kw, max_sweeps):
             yi = jnp.where(active, yn_i, yi)
             return (Br, Bi, Ur, Ui, xr, xi, yr, yi)
 
+        # chase only the live span [lo, hi): traced bounds lower to a
+        # while loop (same pattern as the acc kernel's step loop) and cut
+        # the serial step count ~2-3x across the window's convergence
         Br, Bi, Ur, Ui, _, _, _, _ = lax.fori_loop(
-            0, kw - 1, step, (Br, Bi, Ur, Ui, x0r, x0i, y0r, y0i))
+            jnp.max(lo), jnp.minimum(jnp.max(hi), kw - 1), step,
+            (Br, Bi, Ur, Ui, x0r, x0i, y0r, y0i))
         return (Br, Bi, Ur, Ui, hi, it + 1)
 
     def cond(state):
