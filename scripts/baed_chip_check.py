@@ -17,7 +17,7 @@ print('backend:', jax.default_backend(), flush=True)
 from torcwa_tpu.ops.eig_qr_pallas import (hessenberg_pallas,
                                           schur_qr_pallas_acc,
                                           eig_tri_vectors_pallas)
-from torcwa_tpu.ops.eig_qr_pallas_baed import schur_qr_pallas_baed
+from torcwa_tpu.ops.attic.eig_qr_pallas_baed import schur_qr_pallas_baed
 
 M = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 KW = int(sys.argv[2]) if len(sys.argv) > 2 else 64

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 print('backend:', jax.default_backend(), flush=True)
 from torcwa_tpu.ops.eig_qr_pallas import hessenberg_pallas, schur_qr_pallas_acc
-from torcwa_tpu.ops.eig_qr_pallas_packed import schur_qr_pallas_packed
+from torcwa_tpu.ops.attic.eig_qr_pallas_packed import schur_qr_pallas_packed
 
 
 def bench_pq():

@@ -9,7 +9,9 @@ import pytest
 
 from torcwa_tpu.ops import eig_qr_real as eqr
 from torcwa_tpu.ops.eig_qr_pallas import eig_tri_vectors_pallas
-from torcwa_tpu.ops.eig_qr_pallas_baed import schur_qr_pallas_baed
+from torcwa_tpu.ops.attic.eig_qr_pallas_baed import schur_qr_pallas_baed
+
+pytestmark = pytest.mark.slow
 
 
 def _run(Ar, Ai, m, kw, **kw_):

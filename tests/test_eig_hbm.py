@@ -25,6 +25,7 @@ def _random_pair(n, seed, scale=0.3):
     return Ar, Ai
 
 
+@pytest.mark.slow
 def test_hbm_multiwindow_full_pipeline():
     """n padded past wb forces >= 2 overlapping chase windows per sweep."""
     n = 260                       # pads to 384 > wb=256 -> multi-window
@@ -52,6 +53,7 @@ def test_hbm_multiwindow_full_pipeline():
     assert res < 5e-3, f'eigenvector residual {res}'
 
 
+@pytest.mark.slow
 def test_ms_zero_diagonal_endgame():
     """Shift-sort regression: an antisymmetric real matrix has a zero
     diagonal in Hessenberg form, so the Wilkinson anchor M[hi, hi] is ~0
@@ -78,6 +80,7 @@ def test_ms_zero_diagonal_endgame():
     assert np.max(np.abs(np.sort(w.imag) - np.sort(w_ref.imag))) < 1e-3
 
 
+@pytest.mark.slow
 def test_hbm_zero_diagonal_endgame():
     """Same regression through the HBM kernel."""
     n = 96
@@ -98,6 +101,7 @@ def test_hbm_zero_diagonal_endgame():
     assert np.max(np.abs(np.sort(w.imag) - np.sort(w_ref.imag))) < 1e-3
 
 
+@pytest.mark.slow
 def test_aed_deflates_and_matches():
     """In-kernel AED (window Schur + spike deflation + masked Householder
     re-Hessenberg): >=3x fewer sweeps than the plain multishift path on
@@ -129,12 +133,38 @@ def test_aed_deflates_and_matches():
         f'AED sweeps {sw_aed} not <3x plain {sw_plain}'
 
 
+def test_hbm_small_block_fast():
+    """Fast-gate coverage of schur_qr_hbm (interpret mode, small n):
+    AED window larger than the active block, nibble rule's effective-
+    window denominator, and the converged-tail masking all exercise in
+    seconds — kernel regressions surface in the default `pytest -q`
+    without waiting for `make check-all`."""
+    n = 48
+    Ar, Ai = _random_pair(n, 11)
+    with jax.default_matmul_precision('highest'):
+        Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+            Hr, Hi, Qr, Qi, m=4, wb=256, kw=24, interpret=True,
+            return_stats=True)
+    assert int(hi_f) == 0, f'not converged: hi_f={int(hi_f)}'
+    w = np.asarray(jnp.diagonal(Tr)) + 1j * np.asarray(jnp.diagonal(Ti))
+    assert np.isfinite(w).all()
+    A = np.asarray(Ar) + 1j * np.asarray(Ai)
+    w_ref = np.sort_complex(np.linalg.eigvals(A.astype(np.complex128)))
+    assert np.max(np.abs(np.sort_complex(w) - w_ref)) < 1e-3
+    # AED must carry most of the convergence and the nibble rule (with
+    # its effective-window denominator) must actually skip some chases
+    assert int(aed_d) > n // 2
+    assert int(skipped) > 0
+
+
 def test_hbm_window_too_small_raises():
     Ar, Ai = _random_pair(64, 0)
     with pytest.raises(ValueError):
         schur_qr_hbm(Ar, Ai, Ar, Ai, m=64, wb=128, interpret=True)
 
 
+@pytest.mark.slow
 def test_vec_blocked_matches_resident():
     """Blocked eigenvector solve == the VMEM-resident kernel's result."""
     from torcwa_tpu.ops.eig_qr_real import schur_qr_real, eig_tri_vectors_real

@@ -11,6 +11,8 @@ from torcwa_tpu.ops import eig_qr_real as eqr
 from torcwa_tpu.ops.eig_qr_pallas import eig_tri_vectors_pallas
 from torcwa_tpu.ops.eig_qr_pallas_ms import schur_qr_pallas_ms
 
+pytestmark = pytest.mark.slow
+
 
 def _run(Ar, Ai, m, **kw):
     Hr, Hi, Qr, Qi = jax.jit(eqr.hessenberg_real)(Ar, Ai)

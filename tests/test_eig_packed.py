@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from torcwa_tpu.ops import eig_qr_real as eqr
-from torcwa_tpu.ops.eig_qr_pallas_packed import schur_qr_pallas_packed
+from torcwa_tpu.ops.attic.eig_qr_pallas_packed import schur_qr_pallas_packed
+import pytest
 
 
 def _eig_err(w, w0):
@@ -27,6 +28,7 @@ def _eig_err(w, w0):
     return max(errs) / max(np.abs(w0).max(), 1e-30)
 
 
+@pytest.mark.slow
 def test_packed_random_spectra():
     for n, b in [(16, 3), (48, 2), (96, 2)]:
         rng = np.random.default_rng(n)
@@ -49,6 +51,7 @@ def test_packed_random_spectra():
             assert _eig_err(w[lane], w0) < 2e-4, (n, lane)
 
 
+@pytest.mark.slow
 def test_packed_real_spectrum_and_repeated():
     """Real-eigenvalue and clustered matrices (the stall-gated complex
     shift path) converge and match LAPACK."""

@@ -24,6 +24,7 @@ def _full_eig_via_pallas(Ar, Ai):
 
 
 @pytest.mark.parametrize('n', [4, 16, 48])
+@pytest.mark.slow
 def test_random_matrices(n):
     rng = np.random.default_rng(n)
     Ar = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
@@ -37,6 +38,7 @@ def test_random_matrices(n):
     assert werr < 1e-4, werr
 
 
+@pytest.mark.slow
 def test_rcwa_pq_matrix():
     """The production workload: P@Q of a patterned layer (clustered,
     symmetry-degenerate spectrum)."""

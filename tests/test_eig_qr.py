@@ -73,6 +73,7 @@ def test_batched_vmap():
         _check_eig(A[i], w[i], V[i], 1e-9)
 
 
+@pytest.mark.slow
 def test_rcwa_pq_matrix():
     """The actual workload: eig of P@Q from a patterned RCWA layer."""
     import torcwa_tpu as tt
@@ -96,6 +97,7 @@ def test_rcwa_pq_matrix():
     _check_eig(A, w, V, 2e-4)
 
 
+@pytest.mark.slow
 def test_matches_solver_end_to_end():
     """Full solve with backend='qr' vs backend='callback'."""
     import torcwa_tpu as tt

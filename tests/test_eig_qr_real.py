@@ -25,6 +25,7 @@ def test_random_f64(n):
     _check(jnp.asarray(A, jnp.complex128), 1e-10)
 
 
+@pytest.mark.slow
 def test_random_f32():
     rng = np.random.default_rng(5)
     n = 32
@@ -32,6 +33,7 @@ def test_random_f32():
     _check(jnp.asarray(A, jnp.complex64), 1e-4)
 
 
+@pytest.mark.slow
 def test_batched():
     rng = np.random.default_rng(11)
     A = rng.standard_normal((4, 10, 10)) + 1j * rng.standard_normal((4, 10, 10))
@@ -54,6 +56,7 @@ def test_near_defective():
                        atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rcwa_end_to_end_qr_backend():
     """Full patterned-layer solve with the split-real backend vs callback."""
     import torcwa_tpu as tt
@@ -77,6 +80,7 @@ def test_rcwa_end_to_end_qr_backend():
     assert np.allclose(solve('qr'), solve('callback'), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_through_qr_backend():
     """jax.grad flows through the split-real forward (VJP uses the custom
     broadened formula, backend-independent)."""

@@ -26,6 +26,7 @@ def _eig_pallas_interp(Ar, Ai, max_iter_factor=40, return_stats=False):
     return out
 
 
+@pytest.mark.slow
 def test_nonconvergence_poisons_with_nan_pallas():
     """A starved iteration budget must yield NaN eigenvalues + a nonzero
     window stat, not silent garbage."""
@@ -68,6 +69,7 @@ def test_antisymmetric_real_converges_batched():
     _check_eigvals(A, w, 1e-4)
 
 
+@pytest.mark.slow
 def test_nonconvergence_poisons_with_nan_xla():
     rng = np.random.default_rng(5)
     n = 16

@@ -46,6 +46,7 @@ def _txx_pair(freq, geom, material, rdtype):
 
 @pytest.mark.skipif(not os.path.exists(_ASIH_PATH),
                     reason='reference a-Si:H table not available')
+@pytest.mark.slow
 def test_dispersive_eps_inside_vmapped_sweep(golden):
     ref = golden('example1_dispersive')
     lambs = ref['lambs']
@@ -67,6 +68,7 @@ def test_dispersive_eps_inside_vmapped_sweep(golden):
 
 @pytest.mark.skipif(not os.path.exists(_ASIH_PATH),
                     reason='reference a-Si:H table not available')
+@pytest.mark.slow
 def test_dispersive_sweep_gradient_wrt_wavelength(golden):
     """d|t|^2/dlambda flows through the spline AND the solver: matches a
     central difference of the same pipeline."""

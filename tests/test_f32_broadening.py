@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 import torcwa_tpu as tt
 from torcwa_tpu.ops.eig import _eig_pair_bwd, _AUTO_BROADENING
+import pytest
 
 
 def _bwd_with(w, V, gv, eps):
@@ -70,6 +71,7 @@ def test_auto_broadening_bounds_degenerate_noise_amplification():
     assert err_tiny > 100 * err_auto, (err_tiny, err_auto)
 
 
+@pytest.mark.slow
 def test_f32_grad_parity_at_degenerate_config():
     """Full-solve f32 gradient vs f64 truth at the symmetry-degenerate
     configuration (square cell, normal incidence) with broadening='auto',

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 import torcwa_tpu as tt
 from torcwa_tpu import fmm
+import pytest
 
 L = (300., 300.)
 SUB = 1.46 ** 2
@@ -41,6 +42,7 @@ def test_dft_conv_matches_fft():
     assert np.allclose(np.asarray(cr) + 1j * np.asarray(ci), ref, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_simulate_txx_matches_class():
     geom = _geom()
     spec = fmm.StackSpec(order=(3, 3), L=L, n_layers=1, has_input=True)
@@ -54,6 +56,7 @@ def test_simulate_txx_matches_class():
         assert np.isclose(T_fn, T_cl, rtol=1e-6), (lamb0, T_fn, T_cl)
 
 
+@pytest.mark.slow
 def test_simulate_vmap_over_wavelength():
     geom = _geom()
     spec = fmm.StackSpec(order=(2, 2), L=L, n_layers=1, has_input=True)
@@ -69,6 +72,7 @@ def test_simulate_vmap_over_wavelength():
         assert np.isclose(Ts[i], T_cl, rtol=1e-6), (lamb0, Ts[i], T_cl)
 
 
+@pytest.mark.slow
 def test_simulate_grad():
     """d|txx|^2/d(thickness) via the functional path vs FD."""
     geom = _geom()
@@ -88,6 +92,7 @@ def test_simulate_grad():
     assert np.isclose(ad, fd, rtol=1e-5), (ad, fd)
 
 
+@pytest.mark.slow
 def test_multilayer_stack():
     """3 patterned layers through the functional fold vs the class solver."""
     g = tt.geometry(Lx=L[0], Ly=L[1], nx=128, ny=128, edge_sharpness=1000.)
@@ -124,6 +129,7 @@ def test_multilayer_stack():
     assert np.isclose(T_fn, T_cl, rtol=1e-6), (T_fn, T_cl)
 
 
+@pytest.mark.slow
 def test_sparam_ps_matches_class_api():
     """fmm.sparam_ps_pair agrees with the class API's ps branch for all
     four polarizations and both ports (oblique incidence, real claddings)."""
@@ -170,6 +176,7 @@ def test_sparam_ps_matches_class_api():
                 pol, port, got, ref)
 
 
+@pytest.mark.slow
 def test_fmm_diagnostics_twins():
     """diffraction_angle_pair / return_layer_pair on solve_stack_pair
     outputs (functional twins of rcwa.py:214-298, shared with the class
@@ -210,6 +217,7 @@ def test_fmm_diagnostics_twins():
     assert g[32, 32] > 3.0 and g[2, 2] < 2.0
 
 
+@pytest.mark.slow
 def test_modes_vs_nomodes_smatrix_and_grad():
     """with_modes=False routes the layer tail through right-solves
     (S11=(Ephi+E)Mp+(Ephi-E)Mm); the S blocks and gradients must match
@@ -243,6 +251,7 @@ def test_modes_vs_nomodes_smatrix_and_grad():
     assert rel < 1e-7, rel
 
 
+@pytest.mark.slow
 def test_twisted_multilayer_homogeneous_fast_path():
     """Example1-1 configuration at order 2: three rotated patterned
     layers interleaved with homogeneous spacers routed through the

@@ -107,6 +107,7 @@ def solved():
     return _class_solve(FREQ), _fmm_solve(FREQ, with_modes=True)
 
 
+@pytest.mark.slow
 def test_sparams_match_class(solved):
     s, ((S, intr), kw) = solved
     for pol in ['xx', 'yy', 'xy', 'yx']:
@@ -132,6 +133,7 @@ def test_sparams_match_class(solved):
         assert np.allclose(ours, ref, atol=4e-3), pol
 
 
+@pytest.mark.slow
 def test_fields_match_class(solved):
     s, ((S, intr), kw) = solved
     s.source_planewave(amplitude=[1., 0.3], direction='forward')
@@ -188,6 +190,7 @@ def _field_map_for_freq(freq):
     return jnp.sqrt(ex[0] ** 2 + ex[1] ** 2)
 
 
+@pytest.mark.slow
 def test_sharded_wavelength_field_sweep():
     """8-device sharded field-map sweep == unsharded vmap bit-for-bit,
     and matches the class API per wavelength (VERDICT item 6 'done')."""

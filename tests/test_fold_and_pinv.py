@@ -40,6 +40,7 @@ def _solve(spec, grids, ths, **extra):
         eps_in=(jnp.asarray(SUB, R64), jnp.asarray(0., R64)), **extra)
 
 
+@pytest.mark.slow
 def test_scan_fold_matches_unroll_24_layers():
     """24-layer patterned stack: fold='scan' must reproduce the unrolled
     fold bit-for-bit — global S blocks and every propagated C entry."""
@@ -58,6 +59,7 @@ def test_scan_fold_matches_unroll_24_layers():
         np.testing.assert_array_equal(np.asarray(cbu[1]), np.asarray(cbs[1]))
 
 
+@pytest.mark.slow
 def test_scan_fold_under_jit_grad():
     """The scan fold must differentiate: d|t_xx|^2/d(grids) finite and
     matching the unrolled fold on a 9-layer stack (auto picks scan)."""
@@ -90,6 +92,7 @@ def test_scan_fold_under_jit_grad():
     assert rel < 1e-9, rel
 
 
+@pytest.mark.slow
 def test_scan_fold_graph_flat_vs_layer_count():
     """The scanned fold's jaxpr must not grow with layer count the way
     the unrolled fold does (compile time flat for deep stacks)."""
@@ -133,6 +136,7 @@ def _class_txx_pinv(grids, ths, order, max_pinv):
 
 
 @pytest.mark.parametrize('with_modes', [False, True])
+@pytest.mark.slow
 def test_pinv_fallback_matches_class(with_modes):
     """Force the H = Q E Kz^-1 fallback on every layer (threshold -1,
     so `p_ins < max` is always false) and check the functional path
@@ -156,6 +160,7 @@ def test_pinv_fallback_matches_class(with_modes):
     assert np.all(np.isfinite(np.asarray(p_ins)))
 
 
+@pytest.mark.slow
 def test_pinv_fallback_noop_when_well_conditioned():
     """With the reference's default threshold the solve is unchanged on a
     well-conditioned stack (P-solve branch selected everywhere)."""
@@ -172,6 +177,7 @@ def test_pinv_fallback_noop_when_well_conditioned():
         assert float(jnp.abs(a[1] - b[1]).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_pinv_fallback_grad_finite():
     """Gradients flow through the armed fallback (metrics are
     stop-gradient; cwhere select is differentiable)."""

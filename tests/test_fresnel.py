@@ -28,7 +28,9 @@ def _fresnel(inc):
     return R_TM, R_TE
 
 
-@pytest.mark.parametrize('deg', [0.5, 10., 25., 40., 43.2, 50., 70., 85.])
+@pytest.mark.parametrize('deg', [pytest.param(0.5, marks=pytest.mark.slow),
+                                 pytest.param(10., marks=pytest.mark.slow),
+                                 25., 40., 43.2, 50., 70., 85.])
 def test_fresnel_vs_analytic(deg):
     inc = deg * np.pi / 180
     sim = _solve(inc)

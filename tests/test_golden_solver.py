@@ -130,6 +130,7 @@ def test_fields_backward_source(ex1, sim532):
     _field_close(H, ex1['fxz_bwd_H'], 2e-3)
 
 
+@pytest.mark.slow
 def test_example2_oblique_with_output_layer(golden):
     g = golden('example2')
     si = _si_eps(532.)
@@ -162,6 +163,7 @@ def test_example2_oblique_with_output_layer(golden):
     _field_close(H, g['fxz_H'], 3e-3)
 
 
+@pytest.mark.slow
 def test_example1_1_multilayer(golden):
     g = golden('example1_1')
     si = _si_eps(650.)

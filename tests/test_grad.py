@@ -38,7 +38,9 @@ def _T_of_R(R, stable, broadening=1e-10):
     return (jnp.abs(txx) ** 2)[0]
 
 
-@pytest.mark.parametrize('R', [88., 95., 102.])
+@pytest.mark.parametrize('R', [pytest.param(88., marks=pytest.mark.slow),
+                               pytest.param(95., marks=pytest.mark.slow),
+                               102.])
 def test_grad_vs_finite_difference(R):
     dR = 0.01
     fd = (float(_T_of_R(R + dR, stable=False))
@@ -62,6 +64,7 @@ def test_grad_vs_reference_golden(golden):
         assert np.isclose(ad, g['dTdR_fd'][i], rtol=5e-3), (R, ad, g['dTdR_fd'][i])
 
 
+@pytest.mark.slow
 def test_grad_none_broadening():
     """broadening=None falls back to the dtype-tiny denominator
     (torch_eig.py:30-33) and still yields finite gradients."""
@@ -69,6 +72,7 @@ def test_grad_none_broadening():
     assert np.isfinite(ad)
 
 
+@pytest.mark.slow
 def test_eig_vjp_unit():
     """Unit test of the eig VJP against numerical JVP on a small matrix."""
     rng = np.random.default_rng(0)
@@ -90,6 +94,7 @@ def test_eig_vjp_unit():
     assert np.isclose(ad, fd, rtol=1e-5), (ad, fd)
 
 
+@pytest.mark.slow
 def test_grad_lossy_material():
     """Gradient through a genuinely complex (lossy) structure — pins the
     VJP conjugation convention (a lossless structure has a numerically
@@ -120,6 +125,7 @@ def test_grad_lossy_material():
         assert np.isclose(ad, fd, rtol=2e-3), (backend, ad, fd)
 
 
+@pytest.mark.slow
 def test_eig_vjp_general_loss():
     """VJP correctness for a loss involving V and inv(V) with a fully
     complex matrix, both backends."""

@@ -38,6 +38,7 @@ def sim(golden):
     return s, g
 
 
+@pytest.mark.slow
 def test_sparams_magnetic(sim):
     s, g = sim
     for pol in ['xx', 'yy', 'xy', 'yx', 'pp', 'ss']:
@@ -48,6 +49,7 @@ def test_sparams_magnetic(sim):
             assert np.allclose(ours, g[f'{pre}{pol}'], atol=4e-3), (pol, port)
 
 
+@pytest.mark.slow
 def test_fields_magnetic(sim):
     s, g = sim
     s.source_planewave(amplitude=[1., 0.3], direction='forward')

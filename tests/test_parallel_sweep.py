@@ -102,6 +102,7 @@ def test_sweep_and_grad_pytree_theta():
                                np.asarray(want_grad['b']), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_sweep_realistic_order():
     """Sharded wavelength sweep of a REAL RCWA solve at order (3, 3) /
     64x64 grid vs the unsharded vmap — catches sharding bugs that only
@@ -137,6 +138,7 @@ def test_shard_sweep_realistic_order():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inprocess():
     """End-to-end: the driver's multichip dryrun on the virtual mesh.
 
@@ -151,6 +153,7 @@ def test_dryrun_multichip_inprocess():
     dryrun_multichip(8)     # asserts finite FoM / grad internally
 
 
+@pytest.mark.slow
 def test_shard_sweep_fields_with_modes():
     """8-device sharded sweep where each point runs with_modes=True +
     fields.fmm_field_adapter: field maps must match the unsharded vmap

@@ -41,7 +41,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .eig_qr_pallas_ms import _givens, _wilkinson
+from ..eig_qr_pallas_ms import _givens, _wilkinson
 
 __all__ = ['schur_qr_pallas_baed']
 

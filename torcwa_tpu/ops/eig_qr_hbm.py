@@ -62,10 +62,9 @@ __all__ = ['schur_qr_hbm']
 _F32EPS = 1.1920929e-07
 _SMLNUM = 1e-31
 
-# AED window: KW window eigenvalues per sweep, (KW+1) spike block padded
-# to KP (= 7 sublane-alignment slack + KW + 1)
+# AED window: KW window eigenvalues per sweep; the (KW+1)-wide spike
+# block is padded in-kernel to KP = kw + 8 (7 sublane-alignment slack)
 _AED_KW = 64
-_AED_KP = 72
 
 # interp-mode debugging: print per-sweep (lo, hi) and the sorted shifts
 _DEBUG_PRINT = False
@@ -733,8 +732,16 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         a0 = (a0 // 128) * 128
         # skip the chase when AED emptied (or nearly emptied) the block;
         # nibble rule: also skip it while AED alone deflates > _NIBBLE%
-        # of its window per pass (exceptional sweeps always chase)
-        nibbled = ((hi_band - hi) * 100 > nibble * kw) & ~exc
+        # of its window per pass (exceptional sweeps always chase).
+        # zlaqr0 semantics: 100*LD > NIBBLE*NW with NW the EFFECTIVE
+        # window size — in the endgame the active block is smaller than
+        # kw and measuring against the nominal kw understates the
+        # deflation fraction, forcing chases LAPACK would skip.
+        if aed:
+            nw_eff = jnp.maximum(hi_band - s + 1, 1)
+        else:
+            nw_eff = jnp.int32(kw)
+        nibbled = ((hi_band - hi) * 100 > nibble * nw_eff) & ~exc
         t_final = jnp.where((hi > lo) & ~nibbled, hi - 1 + 2 * (m - 1),
                             lo - 1)
 
