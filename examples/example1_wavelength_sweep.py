@@ -48,7 +48,9 @@ SUB_EPS = 1.46 ** 2
 THICK = 300.
 rdtype = jnp.float32
 
-_SI = aSiH()    # natural-cubic-spline fit of the reference's (n, k) table
+# vendored Tauc-Lorentz table by default; set ASIH_TABLE to the
+# reference's measured table for bit-parity runs (the parity logs did)
+_SI = aSiH(os.environ.get('ASIH_TABLE'))
 
 
 def build_geom():

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from torcwa_tpu import materials
 from torcwa_tpu.fmm import StackSpec, solve_stack_pair, sparam_xy_pair
 from torcwa_tpu.utils import save_state, load_state
 
@@ -44,13 +45,17 @@ CKPT = os.environ.get('EX6_CKPT', 'example6_state.npz')
 RDTYPE = jnp.float32
 
 
+# a-Si:H permittivity evaluated on host via the library material (a
+# complex device array cannot be materialized on this TPU runtime).
+# Defaults to the vendored Tauc-Lorentz table; set ASIH_TABLE to the
+# reference's measured table for bit-parity runs (the committed parity
+# logs did).
+_SI_MAT = materials.aSiH(os.environ.get('ASIH_TABLE'))
+
+
 def _si_eps_host(lamb0):
-    data = np.loadtxt('/root/reference/example/Materials_data/aSiH.txt')
-    from scipy.interpolate import interp1d
-    lam = np.float32(lamb0)
-    nk = (interp1d(data[:, 0], data[:, 1], kind='cubic')(lam)
-          + 1j * interp1d(data[:, 0], data[:, 2], kind='cubic')(lam))
-    return complex(nk) ** 2
+    er, ei = _SI_MAT.eps_pair(np.float64(lamb0))
+    return complex(float(er), float(ei))
 
 
 _si = _si_eps_host(LAMB0)

@@ -12,20 +12,28 @@ SUBSTRATE_EPS = 1.46 ** 2
 SU8_EPS = 1.6 ** 2
 ORDERS6 = [[0, 0], [1, 0], [0, 1], [-1, 0], [1, 1], [2, 0]]
 
-# a-Si:H eps from the reference's material table at the golden wavelengths
-# (computed once by scripts/make_goldens.py's silicon_eps; hardcoded here so
-# the test does not need torch/scipy).
+# a-Si:H eps at the golden wavelengths: derived once from the reference's
+# measured table with the reference's own interpolation (scipy cubic at
+# float32 wavelength, /root/reference/example/Materials.py:19-45) and
+# recorded here, exactly like the golden .npz outputs themselves — so
+# the parity suite runs with no reference checkout mounted.
 SI_EPS = {
-    400.: None,  # filled below from the goldens via re-derivation
+    400.: 16.24464604339499 + 3.9697033465479983j,
+    532.: 12.011610263133004 + 0.5259120147560001j,
+    650.: 10.362267239174999 + 0.15362360819199997j,
+    700.: 9.985966439994998 + 0.11010441325199999j,
 }
 
 
 def _si_eps(lamb0):
-    """a-Si:H eps at the golden wavelengths via the reference data table."""
+    """a-Si:H eps at a golden wavelength (recorded input, see SI_EPS)."""
+    if lamb0 in SI_EPS:
+        return SI_EPS[lamb0]
     import os
     path = '/root/reference/example/Materials_data/aSiH.txt'
     if not os.path.exists(path):
-        pytest.skip('reference material table unavailable')
+        pytest.skip('wavelength not in SI_EPS and reference table '
+                    'unavailable')
     data = np.loadtxt(path)
     from scipy.interpolate import interp1d
     n_i = interp1d(data[:, 0], data[:, 1], kind='cubic')

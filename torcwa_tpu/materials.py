@@ -113,16 +113,23 @@ class TabulatedMaterial:
         return self.nk(wavelength)
 
 
-_ASIH_PATH = '/root/reference/example/Materials_data/aSiH.txt'
+# vendored table: Tauc-Lorentz a-Si:H (causal by construction), generated
+# deterministically by scripts/gen_asih_table.py — the framework's
+# dispersive examples run self-contained, no reference checkout needed
+_ASIH_VENDORED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'data', 'aSiH_nk.txt')
 
 
 def aSiH(path=None):
-    """Hydrogenated amorphous silicon from the reference's data table.
+    """Hydrogenated amorphous silicon (n, k) material.
 
-    The table itself is not vendored; pass ``path`` or have the reference
-    checkout present.  Raises FileNotFoundError otherwise.
+    By default loads the vendored Tauc-Lorentz-derived table
+    (``torcwa_tpu/data/aSiH_nk.txt``).  For bit-parity against the
+    reference's measured table (the data contract at
+    /root/reference/example/Materials.py:9-17), pass its path explicitly
+    — the parity scripts under ``scripts/`` do.
     """
-    p = path or _ASIH_PATH
+    p = path or _ASIH_VENDORED
     if not os.path.exists(p):
         raise FileNotFoundError(
             f'aSiH data table not found at {p}; pass path= explicitly')
