@@ -177,6 +177,87 @@ def _stage_breakdown(spec, eps, freqs, rdtype, full_dt):
           f'smatrix+fold+sparam={rest:.3f}s; '
           f'fwd_total={best["fwd_total"]:.3f}s '
           f'fwd+grad={full_dt:.3f}s', file=sys.stderr)
+    _eig_mfu_breakdown(spec, eps, freqs, rdtype)
+
+
+def _eig_mfu_breakdown(spec, eps, freqs, rdtype):
+    """Per-eig-stage (hess / qr / vec) timing with nominal-FLOP MFU lines
+    against a measured split-real GEMM peak at the same n — makes every
+    bench log auditable: achieved TFLOP/s and %-of-peak per stage."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from torcwa_tpu.fmm import dft_conv_pair, pq_pair, kvectors_real
+    from torcwa_tpu.ops import cplx
+    from torcwa_tpu.utils.timing import measured_gemm_peak, mfu_report
+
+    zero = jnp.asarray(0., rdtype)
+    kx, ky = kvectors_real(freqs[0], zero, zero, jnp.asarray(1.46, rdtype),
+                           spec.order, spec.L, rdtype)
+
+    @jax.jit
+    def build_A(er):
+        with jax.default_matmul_precision('highest'):
+            c = dft_conv_pair((er, jnp.zeros_like(er)), spec.order,
+                              er.shape[0], er.shape[1])
+            P, Q = pq_pair(c, kx, ky)
+            return cplx.cmm(P, Q)
+
+    if jax.default_backend() == 'cpu':
+        print('# eig MFU: skipped on CPU backend (Pallas kernels are the '
+              'TPU production path)', file=sys.stderr)
+        return
+    Ar, Ai = build_A(eps)
+    n = Ar.shape[-1]
+    b = len(freqs)
+
+    def timed(fn, args, reps=2):
+        out = fn(*args)                          # compile + exact result
+        jax.tree.map(lambda x: float(jnp.sum(x)), out)   # barrier
+        best = np.inf
+        for r in range(reps):
+            pert = [a * (1. + 1e-6 * (r + 1)) for a in args]
+            t0 = time.perf_counter()
+            res = fn(*pert)
+            jax.tree.map(lambda x: float(jnp.sum(x)), res)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    stage_t = {}
+    with jax.default_matmul_precision('highest'):
+        if n >= 512 and jax.default_backend() != 'cpu':
+            # single-matrix HBM pipeline (the ORDER >= 15 production route)
+            from torcwa_tpu.ops.hess_blocked import hessenberg_blocked
+            from torcwa_tpu.ops.eig_qr_hbm import schur_qr_hbm
+            from torcwa_tpu.ops.vec_blocked import eig_tri_vectors_blocked
+            from torcwa_tpu.ops.eig_qr_real import _hbm_shifts, _HBM_WINDOW
+            per = 1
+            stage_t['hess'], (Hr, Hi, Qr, Qi) = timed(
+                jax.jit(hessenberg_blocked), (Ar, Ai))
+            qr = lambda *a: schur_qr_hbm(*a, m=_hbm_shifts(n), wb=_HBM_WINDOW)
+            stage_t['qr'], (Tr, Ti, Zr, Zi) = timed(qr, (Hr, Hi, Qr, Qi))
+            stage_t['vec'], _ = timed(jax.jit(eig_tri_vectors_blocked),
+                                      (Tr, Ti, Zr, Zi))
+        else:
+            # batched VMEM kernels (the small-order production route):
+            # flops scale by the sweep batch
+            from torcwa_tpu.ops.eig_qr_pallas import (
+                hessenberg_pallas, schur_qr_pallas_acc,
+                eig_tri_vectors_pallas)
+            per = b
+            Abr = jnp.broadcast_to(Ar, (b, n, n))
+            Abi = jnp.broadcast_to(Ai, (b, n, n))
+            stage_t['hess'], (Hr, Hi, Qr, Qi) = timed(
+                jax.jit(hessenberg_pallas), (Abr, Abi))
+            stage_t['qr'], (Tr, Ti, Zr, Zi) = timed(
+                jax.jit(schur_qr_pallas_acc), (Hr, Hi, Qr, Qi))
+            stage_t['vec'], _ = timed(jax.jit(eig_tri_vectors_pallas),
+                                      (Tr, Ti, Zr, Zi))
+    peak = measured_gemm_peak(min(n, 4096))
+    # normalize to per-matrix time so the MFU lines are batch-independent
+    for line in mfu_report({k: v / per for k, v in stage_t.items()},
+                           n, peak):
+        print(f'# eig MFU (n={n}, batch={per}): {line}', file=sys.stderr)
 
 
 def measure_reference(n_solves=4):

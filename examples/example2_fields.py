@@ -57,3 +57,12 @@ if __name__ == '__main__':
     Ixy = abs2(Exs) + abs2(Eys) + abs2(Ezs)
     print(f'|E|^2 at mid-layer xy cut: min {float(Ixy.min()):.4f} '
           f'max {float(Ixy.max()):.4f}')
+
+    # chip-gate assertions (not just prints): fields finite and within a
+    # physically plausible envelope for a unit-amplitude planewave source
+    # (reference scale: Example2.ipynb's |E| maps peak at a few units)
+    for name, arr in [('I_xz', np.asarray(I)), ('I_xy', np.asarray(Ixy))]:
+        assert np.isfinite(arr).all(), f'{name} has non-finite entries'
+        assert 0.05 < float(arr.max()) < 100., \
+            f'{name} max {float(arr.max()):.3g} implausible'
+    print('EXAMPLE2 FIELD CHECKS PASS')

@@ -1,0 +1,125 @@
+"""Chip sweep of the batched Schur-QR tuning knobs on the BENCH wave
+matrices (VERDICT r5 item 3: the deflation threshold, complex-branch
+stall gate, exceptional-shift cadence, and run count were tuned at a
+single point).
+
+Builds the order-6 bench sweep's A = P@Q batch (b = N_LAM, n = 338),
+Hessenberg-reduces once, then times schur_qr_pallas_acc per knob combo
+(steady state, perturbed inputs).  Correctness per combo: eigenvalues vs
+host numpy zgeev, max sorted-complex error must stay < 2e-3.
+
+Usage: python scripts/acc_knob_sweep.py  (chip; run in background)
+"""
+
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ORDER, N_LAM, GRID = 6, 8, 256
+L = (300., 300.)
+W, THICK = 160., 600.
+EPS_HI, EPS_SUB = 2.0709 ** 2, 1.46 ** 2
+LAM = np.linspace(400., 700., N_LAM)
+
+
+def build_batch():
+    import torcwa_tpu as tt
+    from torcwa_tpu.fmm import dft_conv_pair, pq_pair, kvectors_real
+    from torcwa_tpu.ops import cplx
+    rdtype = jnp.float32
+    g = tt.geometry(Lx=L[0], Ly=L[1], nx=GRID, ny=GRID, edge_sharpness=500.,
+                    dtype=rdtype)
+    geom = g.rectangle(W, W, L[0] / 2., L[1] / 2.)
+    eps = jnp.asarray(geom * EPS_HI + (1. - geom), rdtype)
+    spec_order = (ORDER, ORDER)
+
+    @jax.jit
+    def build_A(freq):
+        with jax.default_matmul_precision('highest'):
+            zero = jnp.asarray(0., rdtype)
+            kx, ky = kvectors_real(freq, zero, zero,
+                                   jnp.asarray(1.46, rdtype), spec_order,
+                                   L, rdtype)
+            c = dft_conv_pair((eps, jnp.zeros_like(eps)), spec_order,
+                              GRID, GRID)
+            P, Q = pq_pair(c, kx, ky)
+            return cplx.cmm(P, Q)
+
+    As = [build_A(jnp.asarray(1.0 / lam, rdtype)) for lam in LAM]
+    Ar = jnp.stack([a[0] for a in As])
+    Ai = jnp.stack([a[1] for a in As])
+    return Ar, Ai
+
+
+def main():
+    from torcwa_tpu.ops.eig_qr_pallas import (hessenberg_pallas,
+                                              schur_qr_pallas_acc)
+    print('backend:', jax.default_backend(), flush=True)
+    Ar, Ai = build_batch()
+    b, n = Ar.shape[0], Ar.shape[-1]
+    print(f'batch {b} x n={n}', flush=True)
+    with jax.default_matmul_precision('highest'):
+        Hr, Hi, Qr, Qi = hessenberg_pallas(Ar, Ai)
+        float(jnp.sum(Hr))
+
+    # host truth (once)
+    A = np.asarray(Ar) + 1j * np.asarray(Ai)
+    w_ref = [np.sort_complex(np.linalg.eigvals(A[i].astype(np.complex128)))
+             for i in range(b)]
+
+    base = dict(exc_every=13, cplx_stall=30, nruns=4, defl_mult=1.0)
+    variants = [dict()]
+    for key, vals in [('exc_every', (8, 20)), ('cplx_stall', (12, 60)),
+                      ('nruns', (6, 8)), ('defl_mult', (2.0, 4.0))]:
+        variants += [{key: v} for v in vals]
+
+    results = []
+    for delta in variants:
+        kw = dict(base, **delta)
+        tag = ' '.join(f'{k}={v}' for k, v in kw.items())
+        with jax.default_matmul_precision('highest'):
+            out = schur_qr_pallas_acc(Hr, Hi, Qr, Qi, return_stats=True,
+                                      **kw)
+            float(jnp.sum(out[0]))              # compile + barrier
+            best = np.inf
+            sweeps = None
+            for r in range(3):
+                s = 1.0 + 1e-4 * (r + 1)
+                t0 = time.time()
+                Tr, Ti, Zr, Zi, (hi_f, sw) = schur_qr_pallas_acc(
+                    Hr * s, Hi * s, Qr, Qi, return_stats=True, **kw)
+                float(jnp.sum(Tr))
+                best = min(best, time.time() - t0)
+                sweeps = int(np.max(np.asarray(sw)))
+            # correctness on exact inputs
+            Tr, Ti, _, _, (hi_f, _) = schur_qr_pallas_acc(
+                Hr, Hi, Qr, Qi, return_stats=True, **kw)
+            err = 0.
+            for i in range(b):
+                w = (np.asarray(jnp.diagonal(Tr[i]))
+                     + 1j * np.asarray(jnp.diagonal(Ti[i])))
+                if not np.isfinite(w).all():
+                    err = np.inf
+                    break
+                err = max(err, float(np.max(np.abs(
+                    np.sort_complex(w) - w_ref[i]))))
+        ok = err < 2e-3 and int(np.max(np.asarray(hi_f))) == 0
+        print(f'{tag:60s}  {best * 1e3:7.1f} ms  max_sweeps={sweeps}  '
+              f'err={err:.1e}  {"OK" if ok else "FAIL"}', flush=True)
+        results.append((best, tag, ok))
+
+    good = [r for r in results if r[2]]
+    good.sort()
+    print('\nbest:', good[0][1] if good else 'none OK', flush=True)
+    print('RESULT', good[0][0] if good else 'nan', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -341,7 +341,9 @@ def schur_qr_pallas(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False):
 
 def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                 hr_ref, hi_ref, ztr_ref, zti_ref, wr_ref, wi_ref, stat_ref,
-                *, max_iters: int, n: int, b: int):
+                *, max_iters: int, n: int, b: int, exc_every: int = 13,
+                cplx_stall: int = _CPLX_STALL, nruns: int = _NRUNS,
+                defl_mult: float = 1.0):
     # explicit copy-in: input_output_aliases miscompiles when several
     # aliased pallas calls (batch chunks) share one jit program here
     hr_ref[:] = hr_in[:]
@@ -416,7 +418,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         sub2 = sr_ * sr_ + si_ * si_
         dshift = jnp.where(iota_n == n - 1, 0.,
                            pltpu.roll(d, shift=n - 1, axis=2))
-        thresh = jnp.maximum(_F32EPS * (d + dshift), _SMLNUM)
+        thresh = jnp.maximum(defl_mult * _F32EPS * (d + dshift), _SMLNUM)
         alive = sub2 > thresh * thresh
         lane = iota_n + 1
         hi = jnp.max(jnp.where((lane <= hi_prev) & alive, lane, 0),
@@ -460,7 +462,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         # keep the real tr/2 shift unless the window has not deflated for
         # _CPLX_STALL sweeps; once a complex shift fires the lane's H has
         # nonzero imag, qi_ != 0 from then on, and the gate never re-arms.
-        cplx_ok = (qi_ != 0.) | (stall >= _CPLX_STALL)
+        cplx_ok = (qi_ != 0.) | (stall >= cplx_stall)
         dsci = jnp.where(cplx_ok, jnp.where(qi_ >= 0, 1., -1.),
                          0.) * jnp.sqrt(jnp.maximum((qmag - qr_) / 2, 0.))
         l1r, l1i = (trr + dscr) / 2, (tri + dsci) / 2
@@ -482,7 +484,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         # (x, y) carry serves them all, re-introduced at each run's lo —
         # cuts the sweep count ~2.2-2.4x at identical total rotations
         # (numpy model: 1116 -> 541 sweeps at n=338).
-        exc = (it % 13) == 12
+        exc = (it % exc_every) == exc_every - 1
         zero_v = jnp.zeros((b, 1, n), jnp.float32)
         act_vec = zero_v
         intro_vec = zero_v
@@ -492,7 +494,7 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
         y0i_vec = zero_v
         lo_r, hi_r = lo, hi
         lo_min_v = lo
-        for r in range(_NRUNS):
+        for r in range(nruns):
             if r > 0:
                 hi_r = jnp.max(jnp.where((lane <= lo_r - 1) & alive,
                                          lane, 0), axis=2, keepdims=True)
@@ -675,11 +677,16 @@ def _kernel_acc(hr_in, hi_in, ztr_in, zti_in,
                             it_f.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=('max_iter_factor', 'interpret'))
-def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
+@functools.partial(jax.jit, static_argnames=('max_iter_factor', 'interpret',
+                                              'exc_every', 'cplx_stall',
+                                              'nruns', 'defl_mult'))
+def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret, exc_every=13,
+              cplx_stall=_CPLX_STALL, nruns=_NRUNS, defl_mult=1.0):
     b, n = Hr.shape[0], Hr.shape[-1]
     kern = functools.partial(_kernel_acc, max_iters=max_iter_factor * n,
-                             n=n, b=b)
+                             n=n, b=b, exc_every=exc_every,
+                             cplx_stall=cplx_stall, nruns=nruns,
+                             defl_mult=defl_mult)
     out = pl.pallas_call(
         kern,
         out_shape=([jax.ShapeDtypeStruct((b, n, n), Hr.dtype)] * 6
@@ -694,7 +701,9 @@ def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret):
 
 
 def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False,
-                        return_stats=False):
+                        return_stats=False, exc_every=13,
+                        cplx_stall=_CPLX_STALL, nruns=_NRUNS,
+                        defl_mult=1.0):
     """Batched deferred-column Schur QR: [B, n, n] pairs -> Schur.
 
     O(B n) VPU work per rotation + two MXU matmuls per sweep; W scratch
@@ -718,7 +727,8 @@ def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False,
     for s in range(0, b, chunk):
         e = min(s + chunk, b)
         outs.append(_call_acc(Hr[s:e], Hi[s:e], ZTr[s:e], ZTi[s:e],
-                              max_iter_factor, interpret))
+                              max_iter_factor, interpret, exc_every,
+                              cplx_stall, nruns, defl_mult))
     Tr, Ti, Zr, Zi, stat = [jnp.concatenate([o[i] for o in outs], axis=0)
                             for i in range(5)]
     hi_f = stat[:, 0, 0]

@@ -5,7 +5,8 @@ wall-clock prints, persist results with scipy.io.savemat, and keep
 optimization history in RAM with no resume capability.
 """
 
-from .timing import StageTimer
+from .timing import (StageTimer, eig_stage_flops, measured_gemm_peak,
+                     mfu_report)
 from .checkpoint import save_state, load_state
 from .export import save_mat, load_mat
 

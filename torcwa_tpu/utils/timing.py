@@ -12,7 +12,87 @@ from contextlib import contextmanager
 
 import jax
 
-__all__ = ['StageTimer']
+__all__ = ['StageTimer', 'eig_stage_flops', 'measured_gemm_peak', 'mfu_report']
+
+
+# --- FLOP model for the eig pipeline (the solve's cost driver) -------------
+#
+# Convention: one complex multiply-add = 8 real flops (4 mul + 4 add; the
+# split-real kernels execute exactly that).  Counts are the standard dense
+# nominal models (LAPACK working notes / Golub-Van Loan), NOT the kernels'
+# actual op counts — MFU reported against them answers "how far from a
+# speed-of-light dense method", which is the honest yardstick when the
+# algorithm itself adapts (AED deflation, nibble skips change actual work).
+#
+#   hess : zgehrd (10/3 n^3) + Q formation zunghr (4/3 n^3)
+#   qr   : Hessenberg Schur QR with Schur-vector accumulation; nominal
+#          ~10 n^3 complex madds (zhseqr with Z, LAWN 41 class estimate)
+#   vec  : triangular eigenvector back-substitution (~n^3/6) + the
+#          Z @ Y basis GEMM (n^3)
+_CMADD = 8.0
+
+
+def eig_stage_flops(n):
+    """Nominal real-FLOP counts per eig stage for one n x n complex
+    matrix (see module comment for the models)."""
+    n3 = float(n) ** 3
+    return {
+        'hess': (10. / 3. + 4. / 3.) * n3 * _CMADD,
+        'qr': 10. * n3 * _CMADD,
+        'vec': (1. / 6. + 1.) * n3 * _CMADD,
+    }
+
+
+def measured_gemm_peak(n, reps=3, rdtype=None):
+    """Measured split-real complex-GEMM throughput (real TFLOP/s) at size
+    n on the default backend — the calibration denominator for MFU
+    lines.  Uses highest matmul precision (the eig kernels' setting), so
+    'peak' means what a GEMM-only algorithm could actually reach here,
+    not the bf16 datasheet number.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    rdtype = rdtype or jnp.float32
+    rng = np.random.default_rng(0)
+    mats = [jnp.asarray(rng.standard_normal((n, n)), rdtype)
+            for _ in range(4)]
+
+    @jax.jit
+    def cgemm(ar, ai, br, bi):
+        with jax.default_matmul_precision('highest'):
+            cr = ar @ br - ai @ bi
+            ci = ar @ bi + ai @ br
+        return cr, ci
+
+    out = cgemm(*mats)
+    float(out[0].sum() + out[1].sum())          # compile + barrier
+    best = float('inf')
+    for r in range(reps):
+        # perturbed inputs defeat the tunnel result cache; a materialized
+        # checksum is the only reliable device barrier on this runtime
+        args = [m * (1. + 1e-6 * (r + 1)) for m in mats]
+        t0 = time.perf_counter()
+        out = cgemm(*args)
+        float(out[0].sum() + out[1].sum())
+        best = min(best, time.perf_counter() - t0)
+    flops = _CMADD * float(n) ** 3               # one complex GEMM
+    return flops / best / 1e12
+
+
+def mfu_report(stage_times, n, gemm_peak_tflops):
+    """Lines of 'stage: time, model TFLOP/s achieved, % of measured GEMM
+    peak' for stages present in both stage_times and the flop model."""
+    model = eig_stage_flops(n)
+    lines = []
+    for name, secs in stage_times.items():
+        if name not in model or secs <= 0:
+            continue
+        tf = model[name] / secs / 1e12
+        pct = 100. * tf / gemm_peak_tflops if gemm_peak_tflops else 0.
+        lines.append(f'{name:5s} {secs:7.3f}s  {tf:6.2f} TFLOP/s '
+                     f'(nominal)  {pct:5.1f}% of measured GEMM peak '
+                     f'({gemm_peak_tflops:.1f})')
+    return lines
 
 
 class StageTimer:
