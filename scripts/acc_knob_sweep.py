@@ -6,7 +6,7 @@ single point).
 Builds the order-6 bench sweep's A = P@Q batch (b = N_LAM, n = 338),
 Hessenberg-reduces once, then times schur_qr_pallas_acc per knob combo
 (steady state, perturbed inputs).  Correctness per combo: eigenvalues vs
-host numpy zgeev, max sorted-complex error must stay < 2e-3.
+host numpy zgeev, two-sided nearest-match relative error < 5e-4.
 
 Usage: python scripts/acc_knob_sweep.py  (chip; run in background)
 """
@@ -71,14 +71,27 @@ def main():
 
     # host truth (once)
     A = np.asarray(Ar) + 1j * np.asarray(Ai)
-    w_ref = [np.sort_complex(np.linalg.eigvals(A[i].astype(np.complex128)))
+    w_ref = [np.linalg.eigvals(A[i].astype(np.complex128))
              for i in range(b)]
+    scale = [max(np.abs(w).max(), 1.) for w in w_ref]
+
+    def match_err(w, i):
+        # nearest-neighbor matching (sort_complex order is unstable for
+        # near-tied real parts at f32): max over computed eigenvalues of
+        # the distance to the closest reference one, relative to |w|max
+        d = np.abs(w[:, None] - w_ref[i][None, :])
+        return float(max(d.min(axis=1).max(), d.min(axis=0).max())
+                     / scale[i])
 
     base = dict(exc_every=13, cplx_stall=30, nruns=4, defl_mult=1.0)
-    variants = [dict()]
-    for key, vals in [('exc_every', (8, 20)), ('cplx_stall', (12, 60)),
-                      ('nruns', (6, 8)), ('defl_mult', (2.0, 4.0))]:
-        variants += [{key: v} for v in vals]
+    import json
+    variants = json.loads(os.environ.get('ACC_VARIANTS', 'null')) or (
+        [dict()]
+        + [{k: v} for k, vals in [('exc_every', (8, 20)),
+                                  ('cplx_stall', (12, 60)),
+                                  ('nruns', (6, 8)),
+                                  ('defl_mult', (2.0, 4.0))]
+           for v in vals])
 
     results = []
     for delta in variants:
@@ -108,9 +121,8 @@ def main():
                 if not np.isfinite(w).all():
                     err = np.inf
                     break
-                err = max(err, float(np.max(np.abs(
-                    np.sort_complex(w) - w_ref[i]))))
-        ok = err < 2e-3 and int(np.max(np.asarray(hi_f))) == 0
+                err = max(err, match_err(w, i))
+        ok = err < 5e-4 and int(np.max(np.asarray(hi_f))) == 0
         print(f'{tag:60s}  {best * 1e3:7.1f} ms  max_sweeps={sweeps}  '
               f'err={err:.1e}  {"OK" if ok else "FAIL"}', flush=True)
         results.append((best, tag, ok))

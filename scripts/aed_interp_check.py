@@ -81,7 +81,7 @@ def stage2(n=300, seed=3):
         Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
         for aed in (True, False):
             t0 = time.time()
-            Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+            Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
                 Hr, Hi, Qr, Qi, m=8, wb=256, interpret=True,
                 return_stats=True, aed=aed)
             w = np.asarray(jnp.diagonal(Tr)) + 1j*np.asarray(jnp.diagonal(Ti))

@@ -19,7 +19,7 @@ def full_check(n, m, wb):
         float(jnp.sum(Hr))
         t_h = time.time() - t0
         t0 = time.time()
-        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
             Hr, Hi, Qr, Qi, m=m, wb=wb, return_stats=True)
         float(jnp.sum(Tr))
         t_q = time.time() - t0

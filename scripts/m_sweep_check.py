@@ -30,7 +30,7 @@ def run(n, m, wb, kw, Hr, Hi, Qr, Qi):
         float(jnp.sum(out[0]))
         t_cold = time.time() - t0
         t0 = time.time()
-        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
             Hr * 1.0001, Hi * 1.0001, Qr, Qi, m=m, wb=wb, kw=kw,
             return_stats=True)
         float(jnp.sum(Tr))

@@ -32,7 +32,7 @@ def test_hbm_multiwindow_full_pipeline():
     Ar, Ai = _random_pair(n, 3)
     with jax.default_matmul_precision('highest'):
         Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
-        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
             Hr, Hi, Qr, Qi, m=8, wb=256, interpret=True, return_stats=True)
         Vr, Vi = eig_tri_vectors_blocked(Tr, Ti, Zr, Zi, block=128,
                                          interpret=True)
@@ -91,7 +91,7 @@ def test_hbm_zero_diagonal_endgame():
     Ai = jnp.zeros_like(Ar)
     with jax.default_matmul_precision('highest'):
         Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
-        Tr, Ti, Zr, Zi, (hi_f, _, _aed, _sk) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, _, _aed, _sk, _mr) = schur_qr_hbm(
             Hr, Hi, Qr, Qi, m=8, wb=256, interpret=True, return_stats=True)
     assert int(hi_f) == 0
     w = np.asarray(jnp.diagonal(Tr)) + 1j * np.asarray(jnp.diagonal(Ti))
@@ -115,7 +115,7 @@ def test_aed_deflates_and_matches():
         stats = {}
         ws = {}
         for aed in (True, False):
-            Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+            Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
                 Hr, Hi, Qr, Qi, m=8, wb=256, interpret=True,
                 return_stats=True, aed=aed)
             assert int(hi_f) == 0
@@ -143,7 +143,7 @@ def test_hbm_small_block_fast():
     Ar, Ai = _random_pair(n, 11)
     with jax.default_matmul_precision('highest'):
         Hr, Hi, Qr, Qi = hessenberg_real(Ar, Ai)
-        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped) = schur_qr_hbm(
+        Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
             Hr, Hi, Qr, Qi, m=4, wb=256, kw=24, interpret=True,
             return_stats=True)
     assert int(hi_f) == 0, f'not converged: hi_f={int(hi_f)}'

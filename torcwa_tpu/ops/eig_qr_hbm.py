@@ -261,7 +261,8 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                 P_r, P_i, S2_r, S2_i, T2_r, T2_i,
                 dg_r, dg_i, sb_r, sb_i, sem,
                 *, n: int, m: int, wb: int, max_sweeps: int, aed: bool,
-                kw: int = _AED_KW, nibble: int = _NIBBLE):
+                kw: int = _AED_KW, nibble: int = _NIBBLE,
+                defl_mult: float = 1.0):
     nt = n // 128                       # band tiles
     # window advance: the resumed chase (tcur = a + wb - 2) needs its
     # trailing bulge row (tcur - 2(m-1)) inside the next window
@@ -314,7 +315,8 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
     iota_kk = lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
 
     def sweep(state):
-        hi_top, it, stall, aed_tot, skip_tot, prev_nib, prev_tb = state
+        (hi_top, it, stall, aed_tot, skip_tot, multi_tot,
+         prev_nib, prev_tb) = state
 
         # a nibbled sweep (AED only, chase skipped) modifies H only in
         # [c128a, c128a+256) — diag/subdiag outside stay valid from the
@@ -336,7 +338,7 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                                preferred_element_type=jnp.float32)
         l2_ = pltpu.roll(d_nt, shift=127, axis=2)
         dnext = jnp.where(bt_l == 127, l2_, lr_)
-        thresh = jnp.maximum(_F32EPS * (d + dnext), _SMLNUM)
+        thresh = jnp.maximum(defl_mult * _F32EPS * (d + dnext), _SMLNUM)
         alive = (sub2 > thresh * thresh) & (gidx < n - 1)
         g1 = gidx + 1
         hi = jnp.max(_m11(jnp.where((g1 <= hi_top) & alive, g1, 0)))
@@ -350,6 +352,11 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         aprev = jnp.where(bt_l == 0, sl, ll) > 0.5
         lo = jnp.max(_m11(jnp.where((gidx <= hi) & ((gidx == 0) | ~aprev),
                                     gidx, 0)))
+        # diagnostic: does a SECOND alive run exist above the active
+        # block?  (precondition for a multi-run chase / window split to
+        # pay off — the batched kernel's _NRUNS trick)
+        second_run = jnp.max(_m11(jnp.where(
+            (gidx < lo - 1) & alive, jnp.int32(1), jnp.int32(0))))
 
         exc = stall >= 13
         hi_band = hi
@@ -410,7 +417,8 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
             rk = lax.broadcasted_iota(jnp.int32, (1, KW, 1), 1)
             # only mini-converged lanes (>= hi_m) are eligible; ku = end of
             # the undeflated part = 1 + last non-deflatable lane
-            deflatable = ((sp_abs <= _F32EPS * jnp.maximum(td_abs, smax))
+            deflatable = ((sp_abs <= defl_mult * _F32EPS
+                           * jnp.maximum(td_abs, smax))
                           & (rk >= hi_m))
             ku = jnp.max(jnp.where(~deflatable, rk + 1, 0))
             hi_new = s + ku - 1
@@ -927,38 +935,42 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
         stall = jnp.where((hi < hi_top) | exc, 0, stall + 1)
         aed_tot = aed_tot + (hi_band - hi)
         skip_tot = skip_tot + nibbled.astype(jnp.int32)
+        multi_tot = multi_tot + second_run
         if aed:
             tb_new = c128a // 128
         else:
             tb_new = jnp.int32(0)
-        return (hi, it + 1, stall, aed_tot, skip_tot,
+        return (hi, it + 1, stall, aed_tot, skip_tot, multi_tot,
                 nibbled.astype(jnp.int32), tb_new)
 
     def cond(state):
         hi_top, it = state[0], state[1]
         return (hi_top > 0) & (it < max_sweeps)
 
-    hi_f, it_f, _, aed_f, skip_f, _, _ = lax.while_loop(
+    hi_f, it_f, _, aed_f, skip_f, multi_f, _, _ = lax.while_loop(
         cond, sweep,
         (jnp.int32(n - 1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     sub = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     stat_ref[:] = jnp.where(
         sub == 0, hi_f.astype(jnp.float32),
         jnp.where(sub == 2, aed_f.astype(jnp.float32),
                   jnp.where(sub == 3, skip_f.astype(jnp.float32),
-                            it_f.astype(jnp.float32))))
+                            jnp.where(sub == 4,
+                                      multi_f.astype(jnp.float32),
+                                      it_f.astype(jnp.float32)))))
 
 
 @functools.partial(jax.jit, static_argnames=('n', 'n_arr', 'm', 'wb',
                                              'max_sweeps', 'interpret',
-                                             'aed', 'kw', 'nibble'))
+                                             'aed', 'kw', 'nibble',
+                                             'defl_mult'))
 def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
-              aed, kw=_AED_KW, nibble=_NIBBLE):
+              aed, kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0):
     nt = n // 128
     kern = functools.partial(_kernel_hbm, n=n, m=m, wb=wb,
                              max_sweeps=max_sweeps, aed=aed, kw=kw,
-                             nibble=nibble)
+                             nibble=nibble, defl_mult=defl_mult)
     trows = kw + 16 if aed else m + 8
     return pl.pallas_call(
         kern,
@@ -998,7 +1010,7 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
 
 def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
                  interpret=False, return_stats=False, aed=True,
-                 kw=_AED_KW, nibble=_NIBBLE):
+                 kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0):
     """HBM-resident multishift Schur QR for ONE [n, n] Hessenberg pair.
 
     Drop-in for schur_qr_pallas_ms with no VMEM size ceiling.  Returns
@@ -1049,12 +1061,13 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
 
     Tr, Ti, Zr, Zi, stat = _call_hbm(Hr_p, Hi_p, ZTr_p, ZTi_p,
                                      n, n_arr, m, wb, max_sweeps, interpret,
-                                     aed, kw, nibble)
+                                     aed, kw, nibble, defl_mult)
     Tr, Ti, Zr, Zi = Tr[0], Ti[0], Zr[0], Zi[0]
     hi_f = stat[0, 0]
     sweeps = stat[1, 0]
     aed_defl = stat[2, 0]
     skipped = stat[3, 0]
+    multi = stat[4, 0]          # sweeps where a 2nd alive run sat above lo
     tri = jnp.arange(n0)[:, None] <= jnp.arange(n0)[None, :]
     Tr = jnp.where(tri, Tr[:n0, :n0], 0.).astype(Hr.dtype)
     Ti = jnp.where(tri, Ti[:n0, :n0], 0.).astype(Hr.dtype)
@@ -1068,5 +1081,6 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
     if return_stats:
         return out + ((hi_f.astype(jnp.int32), sweeps.astype(jnp.int32),
                        aed_defl.astype(jnp.int32),
-                       skipped.astype(jnp.int32)),)
+                       skipped.astype(jnp.int32),
+                       multi.astype(jnp.int32)),)
     return out

@@ -61,6 +61,15 @@ _CHUNK = 512
 # n=24 once the gate opens), so keep the gate high but finite.
 _CPLX_STALL = 30
 
+# deflation-threshold multiplier: subdiagonals deflate when |h| <=
+# defl_mult * eps * (|d_k| + |d_k+1|).  Chip-swept on the bench wave
+# matrices (scripts/acc_knob_sweep.py, b=8 n=338): 1.0 -> 508 sweeps /
+# 187 ms, 4.0 -> 443 / 159-163 ms, 8.0 -> 432 / 160 ms, with identical
+# eigenvalue error (4-5e-5 nearest-match rel) at every setting — the
+# deflation backward error is O(defl_mult * eps * |H|), far below the
+# f32 solve's own roundoff.  4.0 is the conservative knee.
+_DEFL_MULT = 4.0
+
 # independent deflation windows chased concurrently per sweep in the
 # deferred-column kernel (one bulge each; runs are disjoint so a single
 # (x, y) carry serves all of them).  The sweep count — the kernel's cost
@@ -703,7 +712,7 @@ def _call_acc(Hr, Hi, ZTr, ZTi, max_iter_factor, interpret, exc_every=13,
 def schur_qr_pallas_acc(Hr, Hi, Qr, Qi, max_iter_factor=40, interpret=False,
                         return_stats=False, exc_every=13,
                         cplx_stall=_CPLX_STALL, nruns=_NRUNS,
-                        defl_mult=1.0):
+                        defl_mult=_DEFL_MULT):
     """Batched deferred-column Schur QR: [B, n, n] pairs -> Schur.
 
     O(B n) VPU work per rotation + two MXU matmuls per sweep; W scratch

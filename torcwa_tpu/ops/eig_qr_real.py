@@ -39,7 +39,19 @@ _HBM_MIN_N_SINGLE = 512
 # this n (the batch amortizes per-step overhead); above it even one
 # matrix fills VMEM and lanes run sequentially through the HBM pipeline.
 _HBM_MIN_N = 1300
-_HBM_WINDOW = 512
+# Chase-window width.  Chip A/B (r5, bench_logs/hbm_ab_r5.log): the
+# chase is per-rotation WIDTH-bound (each rotation's row ops span wb
+# lanes), so narrower windows win despite 3x the window count per
+# sweep: n=3362 m=24 wb 512/384/256 -> 2.55/2.43/2.37 s steady;
+# n=5202 m=32 -> 5.8/5.6/5.4 s.  128 would leave stride <= 0.
+_HBM_WINDOW = 256
+# deflation-threshold multiplier for the HBM QR (chip A/B, r5): the
+# nibble effective-window fix + defl_mult=4 took n=3362 m=24 from
+# 3.24-3.27 s to 2.55-2.57 s and n=5202 m=32 from 6.95-7.39 s to
+# 5.78-6.32 s (both at wb=512), with end-to-end accuracy unchanged
+# (same rationale as eig_qr_pallas._DEFL_MULT: deflation backward
+# error O(4 eps |H|)).
+_HBM_DEFL = 4.0
 
 
 def _hbm_shifts(n):
@@ -418,7 +430,8 @@ def _eig_real_single(Ar, Ai):
             Hr, Hi, Qr, Qi = hessenberg_blocked(Ar, Ai)
             Tr, Ti, Zr, Zi = schur_qr_hbm(Hr, Hi, Qr, Qi,
                                           m=_hbm_shifts(n_in),
-                                          wb=_HBM_WINDOW)
+                                          wb=_HBM_WINDOW,
+                                          defl_mult=_HBM_DEFL)
             wr = jnp.diagonal(Tr)
             wi = jnp.diagonal(Ti)
             Vr, Vi = eig_tri_vectors_blocked(Tr, Ti, Zr, Zi)
