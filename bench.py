@@ -73,15 +73,25 @@ def measure_ours():
     if ORDER >= 15:
         vg1 = jax.jit(jax.value_and_grad(lambda er, f: point_T(f, er)))
         # warm up on perturbed inputs (identical inputs hit a result cache
-        # on the tunnel runtime; checksums are the only reliable barrier)
+        # on the tunnel runtime; checksums are the only reliable barrier).
+        # TWO warmup calls: the first is the compile, and the first
+        # post-compile Pallas dispatch carries a further one-time runtime
+        # cost (several seconds, see verify skill) that otherwise lands in
+        # the timed loop and inflates per-solve by ~0.5-1.5 s.
         v, g = vg1(eps * 1.001, freqs[0])
+        float(jnp.sum(g))
+        v, g = vg1(eps * 1.002, freqs[0])
         float(jnp.sum(g))
         t0 = time.time()
         vals, checksum = [], 0.
         for f in freqs:
+            t1 = time.time()
             v, g = vg1(eps, f)
             vals.append(float(v))
             checksum += float(jnp.sum(g))
+            import sys
+            print(f'#   solve {len(vals)}: {time.time() - t1:.2f}s',
+                  file=sys.stderr, flush=True)
         dt = time.time() - t0
         val = np.mean(vals)
         assert np.isfinite(val) and np.isfinite(checksum)
@@ -98,6 +108,8 @@ def measure_ours():
     # materialize a checksum as the barrier
     val, grad = vg(eps * 1.001)
     float(jnp.sum(grad))
+    val, grad = vg(eps * 1.002)     # 2nd warmup: first post-compile
+    float(jnp.sum(grad))            # Pallas dispatch has a one-time cost
     t0 = time.time()
     val, grad = vg(eps)
     checksum = float(jnp.sum(grad))

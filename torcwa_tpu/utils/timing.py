@@ -52,19 +52,26 @@ def measured_gemm_peak(n, reps=3, rdtype=None):
     """
     import numpy as np
     import jax.numpy as jnp
+    from jax import lax
     rdtype = rdtype or jnp.float32
     rng = np.random.default_rng(0)
     mats = [jnp.asarray(rng.standard_normal((n, n)), rdtype)
             for _ in range(4)]
+    # amortize inside ONE program: per-dispatch overhead on this runtime
+    # (~27 ms) would otherwise dominate and understate the peak 2-4x
+    k = min(8192, max(4, int(2e12 / (_CMADD * float(n) ** 3))))
 
     @jax.jit
-    def cgemm(ar, ai, br, bi):
+    def cgemm_k(ar, ai, br, bi):
         with jax.default_matmul_precision('highest'):
-            cr = ar @ br - ai @ bi
-            ci = ar @ bi + ai @ br
-        return cr, ci
+            def body(_, c):
+                cr, ci = c
+                cr2 = ar @ cr - ai @ ci
+                ci2 = ar @ ci + ai @ cr
+                return (cr2 / jnp.float32(n), ci2 / jnp.float32(n))
+            return lax.fori_loop(0, k, body, (br, bi))
 
-    out = cgemm(*mats)
+    out = cgemm_k(*mats)
     float(out[0].sum() + out[1].sum())          # compile + barrier
     best = float('inf')
     for r in range(reps):
@@ -72,10 +79,10 @@ def measured_gemm_peak(n, reps=3, rdtype=None):
         # checksum is the only reliable device barrier on this runtime
         args = [m * (1. + 1e-6 * (r + 1)) for m in mats]
         t0 = time.perf_counter()
-        out = cgemm(*args)
+        out = cgemm_k(*args)
         float(out[0].sum() + out[1].sum())
         best = min(best, time.perf_counter() - t0)
-    flops = _CMADD * float(n) ** 3               # one complex GEMM
+    flops = _CMADD * float(n) ** 3 * k           # k complex GEMMs
     return flops / best / 1e12
 
 
