@@ -82,9 +82,13 @@ def measure_ours():
         float(jnp.sum(g))
         v, g = vg1(eps * 1.002, freqs[0])
         float(jnp.sum(g))
+        # iterate HOST scalars: indexing a device array inside the loop
+        # is a device-to-host transfer that can queue behind pending
+        # async work and silently add seconds outside the per-solve spans
+        freqs_h = np.asarray(freqs)
         t0 = time.time()
         vals, checksum = [], 0.
-        for f in freqs:
+        for f in freqs_h:
             t1 = time.time()
             v, g = vg1(eps, f)
             vals.append(float(v))
