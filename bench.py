@@ -208,22 +208,23 @@ def _eig_mfu_breakdown(spec, eps, freqs, rdtype):
     from torcwa_tpu.utils.timing import measured_gemm_peak, mfu_report
 
     zero = jnp.asarray(0., rdtype)
-    kx, ky = kvectors_real(freqs[0], zero, zero, jnp.asarray(1.46, rdtype),
-                           spec.order, spec.L, rdtype)
 
     @jax.jit
-    def build_A(er):
+    def build_A(er, freq):
         with jax.default_matmul_precision('highest'):
+            kxf, kyf = kvectors_real(freq, zero, zero,
+                                     jnp.asarray(1.46, rdtype), spec.order,
+                                     spec.L, rdtype)
             c = dft_conv_pair((er, jnp.zeros_like(er)), spec.order,
                               er.shape[0], er.shape[1])
-            P, Q = pq_pair(c, kx, ky)
+            P, Q = pq_pair(c, kxf, kyf)
             return cplx.cmm(P, Q)
 
     if jax.default_backend() == 'cpu':
         print('# eig MFU: skipped on CPU backend (Pallas kernels are the '
               'TPU production path)', file=sys.stderr)
         return
-    Ar, Ai = build_A(eps)
+    Ar, Ai = build_A(eps, freqs[0])
     n = Ar.shape[-1]
     b = len(freqs)
 
@@ -256,13 +257,16 @@ def _eig_mfu_breakdown(spec, eps, freqs, rdtype):
                                       (Tr, Ti, Zr, Zi))
         else:
             # batched VMEM kernels (the small-order production route):
-            # flops scale by the sweep batch
+            # flops scale by the sweep batch.  Build the REAL per-lambda
+            # batch — broadcast lanes would deflate in lockstep and
+            # understate the batched sweep count ~5x.
             from torcwa_tpu.ops.eig_qr_pallas import (
                 hessenberg_pallas, schur_qr_pallas_acc,
                 eig_tri_vectors_pallas)
             per = b
-            Abr = jnp.broadcast_to(Ar, (b, n, n))
-            Abi = jnp.broadcast_to(Ai, (b, n, n))
+            As = [build_A(eps, f) for f in np.asarray(freqs)]
+            Abr = jnp.stack([a[0] for a in As])
+            Abi = jnp.stack([a[1] for a in As])
             stage_t['hess'], (Hr, Hi, Qr, Qi) = timed(
                 jax.jit(hessenberg_pallas), (Abr, Abi))
             stage_t['qr'], (Tr, Ti, Zr, Zi) = timed(

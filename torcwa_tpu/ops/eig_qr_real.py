@@ -35,10 +35,19 @@ __all__ = ['eig_qr_real', 'eig_qr_split']
 # n >= 512 (0.24 vs 0.32 s at n=512, 0.45 vs 0.95 at n=882, 0.57 vs
 # 1.52 at n=1054); below 512 the batched single-shift kernel wins.
 _HBM_MIN_N_SINGLE = 512
-# Batched solves hold VMEM-chunked lanes in the batched kernel up to
-# this n (the batch amortizes per-step overhead); above it even one
-# matrix fills VMEM and lanes run sequentially through the HBM pipeline.
-_HBM_MIN_N = 1300
+# Batched solves hold VMEM-chunked lanes in the batched kernel while a
+# chunk fits >= 2 lanes (the batch amortizes per-step overhead, see
+# _acc_chunk); otherwise lanes run sequentially through the HBM
+# pipeline.
+_HBM_MIN_N = 1300          # retained for reference; routing uses _acc_chunk
+
+
+def _acc_chunk(n):
+    """Lanes per VMEM chunk the batched acc kernel would use at size n
+    (mirrors eig_qr_pallas.schur_qr_pallas_acc's budget arithmetic)."""
+    from .eig_qr_pallas import _VMEM_BUDGET
+    per = 48 * n * n * 4                      # float32 lanes
+    return max(1, _VMEM_BUDGET // per)
 # Chase-window width.  Chip A/B (r5, bench_logs/hbm_ab_r5.log): the
 # chase is per-rotation WIDTH-bound (each rotation's row ops span wb
 # lanes), so narrower windows win despite 3x the window count per
@@ -487,9 +496,13 @@ def eig_qr_real(Ar, Ai):
     fi = Ai.reshape((-1, n, n))
     if jax.default_backend() == 'cpu':
         wr, wi, Vr, Vi = jax.vmap(_eig_real_single)(fr, fi)
-    elif n >= _HBM_MIN_N:
-        # large-n: even one matrix fills VMEM — run the batch lanes
-        # sequentially through the HBM-resident single-matrix pipeline
+    elif n >= _HBM_MIN_N_SINGLE and _acc_chunk(n) < 2:
+        # The VMEM batched kernel only pays when >= 2 lanes share a
+        # chunk.  When one lane already fills the budget, run the lanes
+        # sequentially through the HBM pipeline instead: faster per lane
+        # at this size (0.24 vs 0.32 s at n=512, chip) and it avoids a
+        # scoped-vmem fusion OOM XLA builds around the chunk
+        # concatenate (seen at n=578, b=4 in the example3 smoke).
         wr, wi, Vr, Vi = lax.map(lambda p: _eig_real_single(p[0], p[1]),
                                  (fr, fi))
     else:
