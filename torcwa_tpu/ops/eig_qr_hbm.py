@@ -976,8 +976,8 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
         kern,
         out_shape=([jax.ShapeDtypeStruct((1, n_arr, n_arr), jnp.float32)] * 4
                    + [jax.ShapeDtypeStruct((8, 128), jnp.float32)]),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=([pl.BlockSpec(memory_space=pl.ANY)] * 4
                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]),
         scratch_shapes=[
             pltpu.VMEM((1, wb, wb), jnp.float32),    # B_r
