@@ -20,6 +20,7 @@ Usage:
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 
@@ -40,6 +41,26 @@ def main():
         ap.error('no command given (use: benchlog.py LOG -- CMD ...)')
 
     os.makedirs(os.path.dirname(os.path.abspath(args.log)), exist_ok=True)
+
+    # If benchlog itself is SIGTERM'd (e.g. an outer `timeout` fires) the
+    # post-run marker check below never executes and a resultless .log
+    # survives — rename-on-signal closes that hole.  SIGKILL can't be
+    # caught; the .failed rename then falls to the next committer's
+    # `git add` review, so prefer `timeout` (SIGTERM) over `timeout -s9`.
+    def _on_term(signum, frame):
+        try:
+            proc.terminate()
+        except Exception:
+            pass
+        if os.path.exists(args.log):
+            os.replace(args.log, args.log + '.failed')
+        print(f'benchlog: killed by signal {signum}; log moved to '
+              f'{args.log}.failed', file=sys.stderr)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     rc = 1
     with open(args.log, 'w') as f:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
