@@ -6,7 +6,7 @@
 
 PY ?= python
 
-.PHONY: check check-all bench bench-order20 bench-order25 chip-smoke goldens
+.PHONY: check check-all bench bench-order20 bench-order25 chip-smoke goldens perf-table
 
 check:
 	$(PY) -m pytest tests/ -q
@@ -33,3 +33,7 @@ chip-smoke:
 
 goldens:
 	$(PY) scripts/make_goldens.py
+
+# regenerate the README headline table from committed bench logs
+perf-table:
+	$(PY) scripts/perf_table.py
