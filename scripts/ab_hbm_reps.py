@@ -18,6 +18,7 @@ wb = int(os.environ.get("AB_WB", "512"))
 kw = int(os.environ.get('AB_KW', '64'))
 nib = int(os.environ.get("AB_NIBBLE", "14"))
 dmult = float(os.environ.get("AB_DEFL", "1.0"))
+local = os.environ.get("AB_LOCAL", "1") == "1"
 print('backend:', jax.default_backend(), flush=True)
 
 rng = np.random.default_rng(n)
@@ -27,7 +28,7 @@ with jax.default_matmul_precision('highest'):
     Hr, Hi, Qr, Qi = hessenberg_blocked(Ar, Ai, panel=128)
     float(jnp.sum(Hr))
     t0 = time.time()
-    out = schur_qr_hbm(Hr, Hi, Qr, Qi, m=m, wb=wb, kw=kw, nibble=nib, defl_mult=dmult, return_stats=True)
+    out = schur_qr_hbm(Hr, Hi, Qr, Qi, m=m, wb=wb, kw=kw, nibble=nib, defl_mult=dmult, local_chase=local, return_stats=True)
     float(jnp.sum(out[0]))
     print(f'cold {time.time() - t0:.1f}s', flush=True)
     for r in range(reps):
@@ -35,7 +36,8 @@ with jax.default_matmul_precision('highest'):
         t0 = time.time()
         Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
             Hr * scale, Hi * scale, Qr, Qi, m=m, wb=wb, kw=kw,
-            nibble=nib, defl_mult=dmult, return_stats=True)
+            nibble=nib, defl_mult=dmult, local_chase=local,
+            return_stats=True)
         float(jnp.sum(Tr))
         print(f'rep{r}: {time.time() - t0:.2f}s sweeps={int(sweeps)} '
               f'skipped={int(skipped)} multi={int(multi)}', flush=True)

@@ -20,7 +20,8 @@ def full_check(n, m, wb):
         t_h = time.time() - t0
         t0 = time.time()
         Tr, Ti, Zr, Zi, (hi_f, sweeps, aed_d, skipped, multi) = schur_qr_hbm(
-            Hr, Hi, Qr, Qi, m=m, wb=wb, return_stats=True)
+            Hr, Hi, Qr, Qi, m=m, wb=wb, defl_mult=_HBM_DEFL,
+            return_stats=True)
         float(jnp.sum(Tr))
         t_q = time.time() - t0
         t0 = time.time()
@@ -36,7 +37,9 @@ def full_check(n, m, wb):
           f'hi_f={int(hi_f)}, aed={int(aed_d)})  vec {t_v:.1f}s  finite={np.isfinite(w).all()} '
           f'res8={res:.2e}', flush=True)
 
+from torcwa_tpu.ops.eig_qr_real import _hbm_shifts, _HBM_WINDOW, _HBM_DEFL
+
 sizes = [int(x) for x in sys.argv[1:]] or [3362, 3362, 5202, 5202]
 for nn in sizes:
-    full_check(nn, 16, 512)
+    full_check(nn, _hbm_shifts(nn), _HBM_WINDOW)
 print('DONE', flush=True)

@@ -75,6 +75,14 @@ _DEBUG_PRINT = False
 # back-to-back window Schurs often sustain the deflation rate without it
 _NIBBLE = 14
 
+# dlaqr5-style local chase block: rotations are chased inside an
+# (LS, LS) block D with an (LS, LS) local accumulator G, then merged
+# into the window (B, U) by one-hot GEMMs every ~LS-2m steps.  Each
+# rotation's row ops then span LS lanes (one vreg) instead of wb — the
+# chase is per-rotation width-bound (r5 chip A/B wb 512/384/256), so
+# this decouples the per-rotation cost from the window width.
+_LS_CHASE = 128
+
 
 def _cdma(src_r, src_i, dst_r, dst_i, sem):
     cp = pltpu.make_async_copy(src_r, dst_r, sem)
@@ -259,10 +267,10 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
                 hr, hi_, ztr, zti, stat_ref,
                 B_r, B_i, U_r, U_i, S_r, S_i, T_r, T_i, K_r, K_i,
                 P_r, P_i, S2_r, S2_i, T2_r, T2_i,
-                dg_r, dg_i, sb_r, sb_i, sem,
+                dg_r, dg_i, sb_r, sb_i, D_r, D_i, G_r, G_i, sem,
                 *, n: int, m: int, wb: int, max_sweeps: int, aed: bool,
                 kw: int = _AED_KW, nibble: int = _NIBBLE,
-                defl_mult: float = 1.0):
+                defl_mult: float = 1.0, local_chase: bool = True):
     nt = n // 128                       # band tiles
     # window advance: the resumed chase (tcur = a + wb - 2) needs its
     # trailing bulge row (tcur - 2(m-1)) inside the next window
@@ -767,88 +775,173 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
 
             t_end = jnp.minimum(a + wb - 3, t_final)
 
-            def step(t, carry):
+            def make_step(Xr, Xi, Vr, Vi, base, size):
+                """One multishift chase step on the (Xr, Xi) block with
+                accumulator (Vr, Vi); rows are block-local at ``base``,
+                the block is ``size`` lanes wide.  Invariant: the actual
+                matrix restricted to the block is X V^T (V accumulates
+                conj of the applied rotations), so next-rotation sources
+                come from row-dot products of width ``size``."""
+
+                def step(t, carry):
+                    xr_v, xi_v, yr_v, yi_v = carry
+                    for i in range(m):
+                        k = t - 2 * i
+                        # clamp the block-local row index: hardware
+                        # dynamic slices do not clamp, and pipeline
+                        # fill/drain puts inactive bulges outside
+                        kl = jnp.clip(k - base, 0, size - 2)
+                        valid_i = at_lane_m(valid_b.astype(jnp.float32),
+                                            i) > 0.
+                        sg_r = at_lane_m(shr, i)
+                        sg_i = at_lane_m(shi, i)
+                        intro = (k == lo) & valid_i
+                        bk_r = Xr[:, pl.ds(kl, 1), :]
+                        bk_i = Xi[:, pl.ds(kl, 1), :]
+                        b1_r = Xr[:, pl.ds(kl + 1, 1), :]
+                        b1_i = Xi[:, pl.ds(kl + 1, 1), :]
+                        uk_r = Vr[:, pl.ds(kl, 1), :]
+                        uk_i = Vi[:, pl.ds(kl, 1), :]
+                        mk_kr = jnp.sum(bk_r * uk_r - bk_i * uk_i,
+                                        axis=2, keepdims=True)
+                        mk_ki = jnp.sum(bk_r * uk_i + bk_i * uk_r,
+                                        axis=2, keepdims=True)
+                        m1_kr = jnp.sum(b1_r * uk_r - b1_i * uk_i,
+                                        axis=2, keepdims=True)
+                        m1_ki = jnp.sum(b1_r * uk_i + b1_i * uk_r,
+                                        axis=2, keepdims=True)
+                        xr = at_lane_m(xr_v, i)
+                        xi = at_lane_m(xi_v, i)
+                        yr = at_lane_m(yr_v, i)
+                        yi = at_lane_m(yi_v, i)
+                        xr = jnp.where(intro, mk_kr - sg_r, xr)
+                        xi = jnp.where(intro, mk_ki - sg_i, xi)
+                        yr = jnp.where(intro, m1_kr, yr)
+                        yi = jnp.where(intro, m1_ki, yi)
+
+                        active = (k >= lo) & (k < hi) & valid_i
+                        c, sr, si = _givens(xr, xi, yr, yi, active)
+
+                        nk_r = c * bk_r + (sr * b1_r - si * b1_i)
+                        nk_i = c * bk_i + (sr * b1_i + si * b1_r)
+                        n1_r = c * b1_r - (sr * bk_r + si * bk_i)
+                        n1_i = c * b1_i - (sr * bk_i - si * bk_r)
+                        Xr[:, pl.ds(kl, 1), :] = nk_r
+                        Xi[:, pl.ds(kl, 1), :] = nk_i
+                        Xr[:, pl.ds(kl + 1, 1), :] = n1_r
+                        Xi[:, pl.ds(kl + 1, 1), :] = n1_i
+
+                        u1_r = Vr[:, pl.ds(kl + 1, 1), :]
+                        u1_i = Vi[:, pl.ds(kl + 1, 1), :]
+                        mw_r = c * uk_r + (sr * u1_r + si * u1_i)
+                        mw_i = c * uk_i + (sr * u1_i - si * u1_r)
+                        m1w_r = c * u1_r - (sr * uk_r - si * uk_i)
+                        m1w_i = c * u1_i - (sr * uk_i + si * uk_r)
+                        Vr[:, pl.ds(kl, 1), :] = mw_r
+                        Vi[:, pl.ds(kl, 1), :] = mw_i
+                        Vr[:, pl.ds(kl + 1, 1), :] = m1w_r
+                        Vi[:, pl.ds(kl + 1, 1), :] = m1w_i
+
+                        k2 = jnp.minimum(kl + 2, size - 1)
+                        b2_r = Xr[:, pl.ds(k2, 1), :]
+                        b2_i = Xi[:, pl.ds(k2, 1), :]
+                        xn_r = jnp.sum(n1_r * mw_r - n1_i * mw_i,
+                                       axis=2, keepdims=True)
+                        xn_i = jnp.sum(n1_r * mw_i + n1_i * mw_r,
+                                       axis=2, keepdims=True)
+                        y2_r = jnp.sum(b2_r * mw_r - b2_i * mw_i,
+                                       axis=2, keepdims=True)
+                        y2_i = jnp.sum(b2_r * mw_i + b2_i * mw_r,
+                                       axis=2, keepdims=True)
+                        nxt_ok = (k + 2) <= hi
+                        yn_r = jnp.where(nxt_ok, y2_r, 0.)
+                        yn_i = jnp.where(nxt_ok, y2_i, 0.)
+                        selm = iota_m == i
+                        xr_v = jnp.where(selm, jnp.where(active, xn_r, xr),
+                                         xr_v)
+                        xi_v = jnp.where(selm, jnp.where(active, xn_i, xi),
+                                         xi_v)
+                        yr_v = jnp.where(selm, jnp.where(active, yn_r, yr),
+                                         yr_v)
+                        yi_v = jnp.where(selm, jnp.where(active, yn_i, yi),
+                                         yi_v)
+                    return (xr_v, xi_v, yr_v, yi_v)
+
+                return step
+
+            if local_chase:
+                # dlaqr5-style blocked chase: rotations run inside the
+                # (LS, LS) local block D with local accumulator G, then
+                # merge into (B, U) via one-hot GEMMs.  Per-rotation row
+                # ops span LS lanes instead of wb; the merge GEMMs ride
+                # the MXU.  Invariants: window  M = B U^T;  chunk start
+                # D = (B U^T)[l0:l0+LS, l0:l0+LS], G = I; after the
+                # chunk (D = Q_l D0, G = conj(Q_l)):
+                #   B[l0+p, :] <- sum_q conj(G)[p, q] B[l0+q, :]
+                #   U[l0+p, :] <- sum_q      G [p, q] U[l0+q, :]
+                # which restores M = B U^T exactly (bulge bumps included,
+                # no masking mid-window).
+                LS = _LS_CHASE
+                pr_ls = lax.broadcasted_iota(jnp.int32, (1, LS, wb), 1)
+                pc_ls = lax.broadcasted_iota(jnp.int32, (1, LS, wb), 2)
+                eye_ls = (lax.broadcasted_iota(jnp.int32, (1, LS, LS), 1)
+                          == lax.broadcasted_iota(jnp.int32, (1, LS, LS), 2)
+                          ).astype(jnp.float32)
+
+                def chunk_cond(cst):
+                    return cst[0] <= t_end
+
+                def chunk_body(cst):
+                    t0, xr_v, xi_v, yr_v, yi_v = cst
+                    # lowest row any bulge touches this chunk; every row
+                    # in [t0 - 2(m-1), tc_end + 2] stays inside the block
+                    l0 = jnp.clip(t0 - 2 * (m - 1) - a, 0, wb - LS)
+                    Rsel = (pc_ls == l0 + pr_ls).astype(jnp.float32)
+                    Bl_r = _dotg(Rsel, B_r[:], ((2,), (1,)), prec)
+                    Bl_i = _dotg(Rsel, B_i[:], ((2,), (1,)), prec)
+                    Wl_r = _dotg(Rsel, U_r[:], ((2,), (1,)), prec)
+                    Wl_i = _dotg(Rsel, U_i[:], ((2,), (1,)), prec)
+                    D_r[:] = (_dotg(Bl_r, Wl_r, ((2,), (2,)), prec)
+                              - _dotg(Bl_i, Wl_i, ((2,), (2,)), prec))
+                    D_i[:] = (_dotg(Bl_r, Wl_i, ((2,), (2,)), prec)
+                              + _dotg(Bl_i, Wl_r, ((2,), (2,)), prec))
+                    G_r[:] = eye_ls
+                    G_i[:] = jnp.zeros((1, LS, LS), jnp.float32)
+                    tc_end = jnp.minimum(a + l0 + LS - 3, t_end)
+                    carry = lax.fori_loop(
+                        t0, tc_end + 1,
+                        make_step(D_r, D_i, G_r, G_i, a + l0, LS),
+                        (xr_v, xi_v, yr_v, yi_v))
+                    Gr_ = G_r[:]
+                    Gi_ = G_i[:]
+                    # B rows <- conj(G) @ Bl; U rows <- G @ Wl
+                    Bn_r = (_dotg(Gr_, Bl_r, ((2,), (1,)), prec)
+                            + _dotg(Gi_, Bl_i, ((2,), (1,)), prec))
+                    Bn_i = (_dotg(Gr_, Bl_i, ((2,), (1,)), prec)
+                            - _dotg(Gi_, Bl_r, ((2,), (1,)), prec))
+                    Un_r = (_dotg(Gr_, Wl_r, ((2,), (1,)), prec)
+                            - _dotg(Gi_, Wl_i, ((2,), (1,)), prec))
+                    Un_i = (_dotg(Gr_, Wl_i, ((2,), (1,)), prec)
+                            + _dotg(Gi_, Wl_r, ((2,), (1,)), prec))
+                    # scatter the LS rows back: X += Rsel^T (Xn - Xl)
+                    B_r[:] = B_r[:] + _dotg(Rsel, Bn_r - Bl_r,
+                                            ((1,), (1,)), prec)
+                    B_i[:] = B_i[:] + _dotg(Rsel, Bn_i - Bl_i,
+                                            ((1,), (1,)), prec)
+                    U_r[:] = U_r[:] + _dotg(Rsel, Un_r - Wl_r,
+                                            ((1,), (1,)), prec)
+                    U_i[:] = U_i[:] + _dotg(Rsel, Un_i - Wl_i,
+                                            ((1,), (1,)), prec)
+                    return (tc_end + 1,) + carry
+
+                fin = lax.while_loop(chunk_cond, chunk_body,
+                                     (tcur, xr_v, xi_v, yr_v, yi_v))
+                _, xr_v, xi_v, yr_v, yi_v = fin
+            else:
+                carry = lax.fori_loop(tcur, t_end + 1,
+                                      make_step(B_r, B_i, U_r, U_i, a, wb),
+                                      (xr_v, xi_v, yr_v, yi_v))
                 xr_v, xi_v, yr_v, yi_v = carry
-                for i in range(m):
-                    k = t - 2 * i
-                    # clamp the block-local row index: hardware dynamic
-                    # slices do not clamp, and pipeline fill/drain puts
-                    # inactive bulges outside the block
-                    kl = jnp.clip(k - a, 0, wb - 2)
-                    valid_i = at_lane_m(valid_b.astype(jnp.float32), i) > 0.
-                    sg_r = at_lane_m(shr, i)
-                    sg_i = at_lane_m(shi, i)
-                    intro = (k == lo) & valid_i
-                    bk_r = B_r[:, pl.ds(kl, 1), :]
-                    bk_i = B_i[:, pl.ds(kl, 1), :]
-                    b1_r = B_r[:, pl.ds(kl + 1, 1), :]
-                    b1_i = B_i[:, pl.ds(kl + 1, 1), :]
-                    uk_r = U_r[:, pl.ds(kl, 1), :]
-                    uk_i = U_i[:, pl.ds(kl, 1), :]
-                    mk_kr = jnp.sum(bk_r * uk_r - bk_i * uk_i,
-                                    axis=2, keepdims=True)
-                    mk_ki = jnp.sum(bk_r * uk_i + bk_i * uk_r,
-                                    axis=2, keepdims=True)
-                    m1_kr = jnp.sum(b1_r * uk_r - b1_i * uk_i,
-                                    axis=2, keepdims=True)
-                    m1_ki = jnp.sum(b1_r * uk_i + b1_i * uk_r,
-                                    axis=2, keepdims=True)
-                    xr = at_lane_m(xr_v, i)
-                    xi = at_lane_m(xi_v, i)
-                    yr = at_lane_m(yr_v, i)
-                    yi = at_lane_m(yi_v, i)
-                    xr = jnp.where(intro, mk_kr - sg_r, xr)
-                    xi = jnp.where(intro, mk_ki - sg_i, xi)
-                    yr = jnp.where(intro, m1_kr, yr)
-                    yi = jnp.where(intro, m1_ki, yi)
-
-                    active = (k >= lo) & (k < hi) & valid_i
-                    c, sr, si = _givens(xr, xi, yr, yi, active)
-
-                    nk_r = c * bk_r + (sr * b1_r - si * b1_i)
-                    nk_i = c * bk_i + (sr * b1_i + si * b1_r)
-                    n1_r = c * b1_r - (sr * bk_r + si * bk_i)
-                    n1_i = c * b1_i - (sr * bk_i - si * bk_r)
-                    B_r[:, pl.ds(kl, 1), :] = nk_r
-                    B_i[:, pl.ds(kl, 1), :] = nk_i
-                    B_r[:, pl.ds(kl + 1, 1), :] = n1_r
-                    B_i[:, pl.ds(kl + 1, 1), :] = n1_i
-
-                    u1_r = U_r[:, pl.ds(kl + 1, 1), :]
-                    u1_i = U_i[:, pl.ds(kl + 1, 1), :]
-                    mw_r = c * uk_r + (sr * u1_r + si * u1_i)
-                    mw_i = c * uk_i + (sr * u1_i - si * u1_r)
-                    m1w_r = c * u1_r - (sr * uk_r - si * uk_i)
-                    m1w_i = c * u1_i - (sr * uk_i + si * uk_r)
-                    U_r[:, pl.ds(kl, 1), :] = mw_r
-                    U_i[:, pl.ds(kl, 1), :] = mw_i
-                    U_r[:, pl.ds(kl + 1, 1), :] = m1w_r
-                    U_i[:, pl.ds(kl + 1, 1), :] = m1w_i
-
-                    k2 = jnp.minimum(kl + 2, wb - 1)
-                    b2_r = B_r[:, pl.ds(k2, 1), :]
-                    b2_i = B_i[:, pl.ds(k2, 1), :]
-                    xn_r = jnp.sum(n1_r * mw_r - n1_i * mw_i,
-                                   axis=2, keepdims=True)
-                    xn_i = jnp.sum(n1_r * mw_i + n1_i * mw_r,
-                                   axis=2, keepdims=True)
-                    y2_r = jnp.sum(b2_r * mw_r - b2_i * mw_i,
-                                   axis=2, keepdims=True)
-                    y2_i = jnp.sum(b2_r * mw_i + b2_i * mw_r,
-                                   axis=2, keepdims=True)
-                    nxt_ok = (k + 2) <= hi
-                    yn_r = jnp.where(nxt_ok, y2_r, 0.)
-                    yn_i = jnp.where(nxt_ok, y2_i, 0.)
-                    selm = iota_m == i
-                    xr_v = jnp.where(selm, jnp.where(active, xn_r, xr), xr_v)
-                    xi_v = jnp.where(selm, jnp.where(active, xn_i, xi), xi_v)
-                    yr_v = jnp.where(selm, jnp.where(active, yn_r, yr), yr_v)
-                    yi_v = jnp.where(selm, jnp.where(active, yn_i, yi), yi_v)
-                return (xr_v, xi_v, yr_v, yi_v)
-
-            carry = lax.fori_loop(tcur, t_end + 1, step,
-                                  (xr_v, xi_v, yr_v, yi_v))
-            xr_v, xi_v, yr_v, yi_v = carry
 
             # --- B <- B U^T; keep parked bulge bumps alive ------------------
             Br_ = B_r[:]
@@ -964,13 +1057,15 @@ def _kernel_hbm(hr_in, hi_in, ztr_in, zti_in,
 @functools.partial(jax.jit, static_argnames=('n', 'n_arr', 'm', 'wb',
                                              'max_sweeps', 'interpret',
                                              'aed', 'kw', 'nibble',
-                                             'defl_mult'))
+                                             'defl_mult', 'local_chase'))
 def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
-              aed, kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0):
+              aed, kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0,
+              local_chase=True):
     nt = n // 128
     kern = functools.partial(_kernel_hbm, n=n, m=m, wb=wb,
                              max_sweeps=max_sweeps, aed=aed, kw=kw,
-                             nibble=nibble, defl_mult=defl_mult)
+                             nibble=nibble, defl_mult=defl_mult,
+                             local_chase=local_chase)
     trows = kw + 16 if aed else m + 8
     return pl.pallas_call(
         kern,
@@ -1000,6 +1095,10 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
             pltpu.VMEM((1, nt, 128), jnp.float32),   # dg_i
             pltpu.VMEM((1, nt, 128), jnp.float32),   # sb_r
             pltpu.VMEM((1, nt, 128), jnp.float32),   # sb_i
+            pltpu.VMEM((1, _LS_CHASE, _LS_CHASE), jnp.float32),  # D_r
+            pltpu.VMEM((1, _LS_CHASE, _LS_CHASE), jnp.float32),  # D_i
+            pltpu.VMEM((1, _LS_CHASE, _LS_CHASE), jnp.float32),  # G_r
+            pltpu.VMEM((1, _LS_CHASE, _LS_CHASE), jnp.float32),  # G_i
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1010,7 +1109,8 @@ def _call_hbm(Hr, Hi, ZTr, ZTi, n, n_arr, m, wb, max_sweeps, interpret,
 
 def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
                  interpret=False, return_stats=False, aed=True,
-                 kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0):
+                 kw=_AED_KW, nibble=_NIBBLE, defl_mult=1.0,
+                 local_chase=True):
     """HBM-resident multishift Schur QR for ONE [n, n] Hessenberg pair.
 
     Drop-in for schur_qr_pallas_ms with no VMEM size ceiling.  Returns
@@ -1059,9 +1159,14 @@ def schur_qr_hbm(Hr, Hi, Qr, Qi, m=16, wb=512, max_iter_factor=40,
     ZTr_p = embed(jnp.swapaxes(Qr, -2, -1), jnp.ones(n - n0))
     ZTi_p = embed(jnp.swapaxes(Qi, -2, -1))
 
+    # the blocked local chase needs strictly narrower blocks than the
+    # window (and bulges must fit the block: 2m + 2 < LS)
+    local_chase = (local_chase and wb > _LS_CHASE
+                   and 2 * m + 2 < _LS_CHASE)
     Tr, Ti, Zr, Zi, stat = _call_hbm(Hr_p, Hi_p, ZTr_p, ZTi_p,
                                      n, n_arr, m, wb, max_sweeps, interpret,
-                                     aed, kw, nibble, defl_mult)
+                                     aed, kw, nibble, defl_mult,
+                                     local_chase)
     Tr, Ti, Zr, Zi = Tr[0], Ti[0], Zr[0], Zi[0]
     hi_f = stat[0, 0]
     sweeps = stat[1, 0]
